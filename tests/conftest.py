@@ -1,0 +1,43 @@
+"""Test configuration: force CPU backend with 8 virtual devices so
+multi-device (mesh/shard_map) tests run without TPU hardware — the TPU-native
+answer to 'test multi-chip without a cluster'."""
+
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import pathlib
+
+import numpy as np
+import pytest
+
+REFERENCE_ROOT = pathlib.Path("/root/reference/version3.0")
+
+
+@pytest.fixture(scope="session")
+def reference_root():
+    if not REFERENCE_ROOT.exists():
+        pytest.skip("reference repo not mounted")
+    return REFERENCE_ROOT
+
+
+@pytest.fixture()
+def rng():
+    return np.random.default_rng(0)
+
+
+def random_image(rng, h, w, c=4):
+    img = rng.integers(0, 256, size=(h, w, c), dtype=np.uint8)
+    if c == 4:
+        img[..., 3] = 255
+    return img
+
+
+@pytest.fixture()
+def small_image(rng):
+    return random_image(rng, 12, 10)
