@@ -1,0 +1,48 @@
+#!/usr/bin/env python3
+"""Driver benchmark: prints ONE JSON line with the headline metric.
+
+Headline: bicubic 4x upscale of a 1080p RGBA frame (output 7680x4320x4,
+~33.2 MPix) on one chip, best of the phase / matmul / pallas paths that keep
+±1-u8-LSB parity with the float64 JS-semantics oracle.
+
+vs_baseline is the speedup over the reference's JS bicubic kernel
+(0.39 MPix/s, BASELINE.md / cp_performance/bsr).
+"""
+
+import json
+import sys
+
+
+def main():
+    import jax
+
+    from bicubic_interpolation_model_tpu.bench.suite import (
+        REFERENCE_BICUBIC_GPIX_S,
+        headline,
+    )
+
+    backend = jax.default_backend()
+    impls = ("phase", "matmul", "pallas") if backend == "tpu" else ("matmul",)
+    best, results = headline(impls=impls, runs=5)
+    for r in results:
+        print(f"# {r}", file=sys.stderr)
+    if best is None:
+        print(json.dumps({"metric": "bicubic_4x_throughput", "value": 0.0,
+                          "unit": "GPix/s", "vs_baseline": 0.0,
+                          "error": "no impl passed parity"}))
+        return 1
+    value = round(best["gpix_per_s"], 3)
+    print(json.dumps({
+        "metric": "bicubic_4x_throughput",
+        "value": value,
+        "unit": "GPix/s",
+        "vs_baseline": round(value / REFERENCE_BICUBIC_GPIX_S, 1),
+        "impl": best["impl"],
+        "max_u8_delta": best["max_u8_delta"],
+        "backend": backend,
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

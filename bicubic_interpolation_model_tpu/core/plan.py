@@ -169,6 +169,44 @@ def plan_to_matrix(plan: AxisPlan, dtype=np.float32) -> np.ndarray:
     return mat.astype(dtype)
 
 
+_DOWN_KERNELS = {
+    # kernel function and half-support (in kernel units)
+    "box": (lambda t: (np.abs(np.asarray(t, np.float64)) <= 0.5).astype(np.float64), 0.5),
+    "triangle": (lambda t: np.maximum(0.0, 1.0 - np.abs(np.asarray(t, np.float64))), 1.0),
+    "cubic": (cubic_keys, 2.0),
+    "lanczos2": (lambda t: lanczos(t, a=2), 2.0),
+    "lanczos3": (lambda t: lanczos(t, a=3), 3.0),
+}
+
+
+def plan_downsample(n_in: int, factor: float, method: str = "cubic",
+                    n_out: int | None = None) -> AxisPlan:
+    """Antialiased downsample plan (the role sharp's ``resize`` plays for
+    HR→LR generation, reference data_generator.js:62-88 /
+    model_super_resolution.js:20-32).
+
+    Center-aligned mapping src = (dst+0.5)*factor - 0.5 with the kernel
+    stretched by ``factor`` (antialiasing), taps clamped to the image and
+    weights normalized. Exact parity with libvips is not a goal (its kernels
+    are its own); this is the standard convention shared by PIL/OpenCV.
+    """
+    if factor < 1:
+        raise ValueError("factor must be >= 1 for downsampling")
+    n_out = int(n_in // factor) if n_out is None else n_out
+    kern, half = _DOWN_KERNELS[method]
+    support = half * factor
+    taps = int(np.ceil(2 * support)) + 1
+    center = (np.arange(n_out, dtype=np.float64) + 0.5) * factor - 0.5
+    first = np.ceil(center - support).astype(np.int64)
+    k = np.arange(taps)
+    pos = first[:, None] + k[None, :]
+    w = kern((pos - center[:, None]) / factor)
+    idx = np.clip(pos, 0, n_in - 1)
+    w = w / w.sum(axis=1, keepdims=True)
+    return AxisPlan(idx.astype(np.int32), w.astype(np.float32),
+                    n_in, n_out, 1.0 / factor)
+
+
 def phase_lut_bicubic(scale: int, a: float = -0.5) -> np.ndarray:
     """Interior weight LUT [scale, 4] for integer upscales.
 

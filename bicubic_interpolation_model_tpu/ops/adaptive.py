@@ -1,0 +1,178 @@
+"""Adaptive bicubic ops.
+
+1. :func:`adaptive_resize` — device version of the reference's
+   ``ultimateBicubicInterpolation`` (version3.0/utils/
+   adaptive_bicubic_super_resolution.js:10-145): Keys weights modulated per
+   tap by local luma contrast. Unlike the classical kernels this is NOT
+   separable (the modulation couples the axes), so the TPU formulation is
+   phase decomposition: for an integer scale S every output phase (py, px)
+   shares its tap geometry, so the whole image is computed as S^2 vectorized
+   [H_lr, W_lr] passes over 16 pre-sliced tap planes, then phase-interleaved.
+   All JS quirks are preserved for parity with the float64 oracle:
+
+   * cubic weights quantize |t| to 2 decimals (the JS Map memo keyed on
+     ``toFixed(2)``, :28-42);
+   * weights are evaluated at *clamped* tap positions (:112-119);
+   * the modulation skips the tap that coincides with the center pixel by
+     *position equality* (:122), which at image borders can also exempt
+     clamped duplicates — reproduced via per-axis equality masks;
+   * region classification (5x5 luma variance, flat<10 / edge>50, :45-66)
+     and the three modulation laws (:69-89), BT.709 luma on raw u8 (:21-25).
+
+2. :func:`adaptive_gt_factors` — the v4.0 data-generation variant
+   (version4.0/utils/data_generator.js:196-244): per-tap factors from a 4x4
+   LR luma window (contrast = max-min on [0,1] luma; edge>0.3, flat<0.1),
+   used to modulate GT weights before normalization.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from .learned import cubic_keys_jnp
+from .resize import round_u8
+
+
+def _cubic_memo(t, a: float = -0.5):
+    """Keys cubic evaluated at |t| rounded to 2 decimals (JS toFixed memo)."""
+    t = jnp.abs(t)
+    t = jnp.floor(t * 100.0 + 0.5) / 100.0
+    return cubic_keys_jnp(t, a)
+
+
+def luma_bt709(img_f32_rgb_first3):
+    r, g, b = (img_f32_rgb_first3[..., i] for i in range(3))
+    return r * 0.2126 + g * 0.7152 + b * 0.0722
+
+
+def _variance5x5(luma):
+    """5x5 clamped-window variance (analyzeLocalContrast, radius 2)."""
+    p = jnp.pad(luma, 2, mode="edge")
+    h, w = luma.shape
+    s = jnp.zeros_like(luma)
+    sq = jnp.zeros_like(luma)
+    for dy in range(5):
+        for dx in range(5):
+            v = p[dy:dy + h, dx:dx + w]
+            s = s + v
+            sq = sq + v * v
+    return (sq - s * s / 25.0) / 25.0
+
+
+@functools.partial(jax.jit, static_argnames=("scale", "a"))
+def _adaptive_resize_u8(img, scale: int, a: float):
+    h, w, c = img.shape
+    x = img.astype(jnp.float32)
+    luma = luma_bt709(x)
+
+    var = _variance5x5(luma)
+    is_flat = var < 10.0
+    is_edge = var > 50.0
+
+    # tap planes: padded by (1 top/left, 2 bottom/right) == index clamping
+    xp = jnp.pad(x, ((1, 2), (1, 2), (0, 0)), mode="edge")
+    lp = jnp.pad(luma, ((1, 2), (1, 2)), mode="edge")
+    tap_pix = [[xp[n:n + h, m:m + w] for m in range(4)] for n in range(4)]
+    tap_lum = [[lp[n:n + h, m:m + w] for m in range(4)] for n in range(4)]
+
+    # center variants: offsets {0, 1} per axis (round(ox) is base or base+1)
+    lp1 = jnp.pad(luma, ((0, 1), (0, 1)), mode="edge")
+    cen_lum = [[lp1[oy:oy + h, ox:ox + w] for ox in range(2)] for oy in range(2)]
+    fp = jnp.pad(is_flat, ((0, 1), (0, 1)), mode="edge")
+    ep = jnp.pad(is_edge, ((0, 1), (0, 1)), mode="edge")
+    cen_flat = [[fp[oy:oy + h, ox:ox + w] for ox in range(2)] for oy in range(2)]
+    cen_edge = [[ep[oy:oy + h, ox:ox + w] for ox in range(2)] for oy in range(2)]
+
+    # per-axis clamped tap positions & weights (exact JS border semantics)
+    def axis_geometry(n_in, phase_over_scale, tap):
+        base = jnp.arange(n_in, dtype=jnp.float32)       # LR cell index
+        ox = base + phase_over_scale
+        pos = jnp.clip(base + tap - 1, 0, n_in - 1)
+        wgt = _cubic_memo(ox - pos, a)
+        return pos, wgt
+
+    def center_offset(phase_over_scale):
+        # JS Math.round half-up of p/s in [0,1): 1 if p/s >= 0.5 else 0
+        return int(phase_over_scale >= 0.5)
+
+    out_phases = []
+    for py in range(scale):
+        fy = py / scale
+        cy_off = center_offset(fy)
+        row = []
+        for px in range(scale):
+            fx = px / scale
+            cx_off = center_offset(fx)
+            cl = cen_lum[cy_off][cx_off]
+            flat_r = cen_flat[cy_off][cx_off]
+            edge_r = cen_edge[cy_off][cx_off]
+            cy_pos = jnp.clip(jnp.arange(h) + cy_off, 0, h - 1)
+            cx_pos = jnp.clip(jnp.arange(w) + cx_off, 0, w - 1)
+
+            acc = jnp.zeros((h, w, c), jnp.float32)
+            wsum = jnp.zeros((h, w), jnp.float32)
+            for n in range(4):
+                py_pos, wy = axis_geometry(h, fy, n)
+                eq_y = (py_pos == cy_pos)[:, None]
+                for m in range(4):
+                    px_pos, wx = axis_geometry(w, fx, m)
+                    eq_x = (px_pos == cx_pos)[None, :]
+                    base_w = wy[:, None] * wx[None, :]
+                    ld = jnp.abs(cl - tap_lum[n][m])
+                    edge_w = base_w * (1.0 + 0.5 * jnp.minimum(1.0, ld / 50.0))
+                    flat_w = base_w * jnp.maximum(0.5, 1.0 - ld / 30.0)
+                    text_w = base_w * (0.8 + 0.4 * jnp.exp(-ld / 20.0))
+                    mod = jnp.where(edge_r, edge_w,
+                                    jnp.where(flat_r, flat_w, text_w))
+                    wgt = jnp.where(eq_y & eq_x, base_w, mod)
+                    acc = acc + wgt[..., None] * tap_pix[n][m]
+                    wsum = wsum + wgt
+            row.append(acc / wsum[..., None])
+        out_phases.append(row)
+
+    # interleave phases: [S, S, H, W, C] -> [H*S, W*S, C]
+    ph = jnp.stack([jnp.stack(r) for r in out_phases])   # [Sy, Sx, H, W, C]
+    out = ph.transpose(2, 0, 3, 1, 4).reshape(h * scale, w * scale, c)
+    return round_u8(out)
+
+
+def adaptive_resize(img_u8, scale: int, a: float = -0.5):
+    """Adaptive bicubic SR of an HWC uint8 image (integer scale)."""
+    if float(scale) != int(scale) or scale < 1:
+        raise ValueError("adaptive_resize requires an integer upscale factor")
+    img = jnp.asarray(img_u8)
+    if img.dtype != jnp.uint8:
+        raise ValueError("adaptive_resize expects uint8 input")
+    return _adaptive_resize_u8(img, int(scale), float(a))
+
+
+@functools.partial(jax.jit, static_argnames=("scale",))
+def adaptive_gt_factors(lr_float, scale: int):
+    """v4.0 per-tap adaptive factors, upsampled to [H_sr, W_sr, 16].
+
+    ``lr_float`` is the [H_lr, W_lr, >=3] float image in [0,1]; factors are a
+    function of the LR base cell only (all S^2 HR phases of a cell share them),
+    so they are computed at LR resolution and phase-repeated.
+    """
+    h, w = lr_float.shape[:2]
+    luma = luma_bt709(lr_float.astype(jnp.float32))
+    lp = jnp.pad(luma, ((1, 2), (1, 2)), mode="edge")
+    taps = jnp.stack([lp[n:n + h, m:m + w]
+                      for n in range(4) for m in range(4)])   # [16, H, W]
+    mx = taps.max(axis=0)
+    mn = taps.min(axis=0)
+    contrast = mx - mn
+    is_edge = contrast > 0.3
+    is_flat = contrast < 0.1
+    ld = jnp.abs(taps - luma[None])
+    edge_f = 1.0 + 0.5 * (1.0 - ld / 0.3)
+    flat_f = jnp.maximum(0.7, 1.0 - ld / 0.2)
+    text_f = 0.8 + 0.4 * jnp.exp(-ld / 0.15)
+    f = jnp.where(is_edge[None], edge_f,
+                  jnp.where(is_flat[None], flat_f, text_f))   # [16, H, W]
+    f = jnp.moveaxis(f, 0, -1)                                # [H, W, 16]
+    f = jnp.repeat(jnp.repeat(f, scale, axis=0), scale, axis=1)
+    return f

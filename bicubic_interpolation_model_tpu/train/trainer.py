@@ -1,0 +1,177 @@
+"""Training loop for the weight-predictor (and direct-SR baselines).
+
+The reference trains with adam(1e-4), MSE loss on the 16-channel weight map,
+MAE metric, batch = one whole image, 100 epochs (train.js:140-240). Here the
+step is one jit-compiled fused fwd+bwd+adam update; two batching modes:
+
+- ``patch`` (default): fixed-size random LR crops batched together — static
+  shapes, one compilation, full MXU utilization. The TPU-native choice.
+- ``image``: whole-image batches like the reference; images are padded to a
+  size bucket (multiple of ``bucket``) with a loss mask so jit recompiles
+  once per bucket instead of once per unique size.
+
+Loss masking keeps padded pixels out of both the loss and the metrics.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Iterable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+
+@dataclasses.dataclass
+class TrainConfig:
+    learning_rate: float = 1e-4
+    epochs: int = 100
+    mode: str = "patch"          # "patch" | "image"
+    patch_lr: int = 64           # LR patch side (HR side = patch_lr * scale)
+    batch_size: int = 8
+    bucket: int = 64             # LR bucket multiple for image mode
+    scale: int = 4
+    seed: int = 0
+    log_every: int = 10
+
+
+def make_weight_predictor_step(model, optimizer):
+    """Step for (img, off, y_true) → weight-map MSE (+ MAE metric)."""
+
+    def loss_fn(params, img, off, y, mask):
+        pred = model.apply(params, img, off)
+        err = (pred - y) * mask
+        denom = jnp.maximum(mask.sum() * y.shape[-1], 1.0)
+        mse = jnp.sum(err * err) / denom
+        mae = jnp.sum(jnp.abs(err)) / denom
+        return mse, mae
+
+    @jax.jit
+    def step(params, opt_state, img, off, y, mask):
+        (loss, mae), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            params, img, off, y, mask)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss, mae
+
+    return step
+
+
+def make_direct_sr_step(model, optimizer):
+    """Step for (lr, hr) pixel-regression models (ESPCN family)."""
+
+    def loss_fn(params, lr, hr):
+        pred = model.apply(params, lr)
+        err = pred - hr
+        mse = jnp.mean(err * err)
+        return mse, jnp.mean(jnp.abs(err))
+
+    @jax.jit
+    def step(params, opt_state, lr, hr):
+        (loss, mae), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            params, lr, hr)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss, mae
+
+    return step
+
+
+def _pad_to(arr, h, w):
+    ph, pw = h - arr.shape[0], w - arr.shape[1]
+    return np.pad(arr, ((0, ph), (0, pw), (0, 0)))
+
+
+def _bucket(n, m):
+    return -(-n // m) * m
+
+
+class WeightPredictorTrainer:
+    """Drives training over a dataset of (X, offset, Y) triplets keyed by id
+    (the in-memory map produced by data.binfmt.load_dataset_dir)."""
+
+    def __init__(self, model, config: TrainConfig | None = None):
+        self.model = model
+        self.cfg = config or TrainConfig()
+        self.optimizer = optax.adam(self.cfg.learning_rate)
+        self.step_fn = make_weight_predictor_step(self.model, self.optimizer)
+        self.history: list[dict] = []
+
+    def init_params(self, rng_key=None):
+        rng_key = rng_key if rng_key is not None else jax.random.key(self.cfg.seed)
+        s = self.cfg.scale
+        img = jnp.zeros((1, 8, 8, 4), jnp.float32)
+        off = jnp.zeros((1, 8 * s, 8 * s, 2), jnp.float32)
+        return self.model.init(rng_key, img, off)
+
+    # ---- batch construction -------------------------------------------------
+
+    def _patch_batches(self, data, rng):
+        cfg = self.cfg
+        s = cfg.scale
+        p = cfg.patch_lr
+        ids = [k for k, v in data.items() if v["X"].shape[0] >= p
+               and v["X"].shape[1] >= p]
+        if not ids:
+            raise ValueError(f"no sample is >= {p}x{p} LR pixels")
+        n_batches = max(1, len(ids))
+        for _ in range(n_batches):
+            imgs, offs, ys = [], [], []
+            for _ in range(cfg.batch_size):
+                d = data[ids[rng.integers(len(ids))]]
+                h, w = d["X"].shape[:2]
+                y0 = int(rng.integers(h - p + 1))
+                x0 = int(rng.integers(w - p + 1))
+                imgs.append(d["X"][y0:y0 + p, x0:x0 + p])
+                offs.append(d["offset"][y0 * s:(y0 + p) * s, x0 * s:(x0 + p) * s])
+                ys.append(d["Y"][y0 * s:(y0 + p) * s, x0 * s:(x0 + p) * s])
+            mask = np.ones((cfg.batch_size, p * s, p * s, 1), np.float32)
+            yield (np.stack(imgs), np.stack(offs), np.stack(ys), mask)
+
+    def _image_batches(self, data):
+        cfg = self.cfg
+        s = cfg.scale
+        for sid, d in data.items():
+            h, w = d["X"].shape[:2]
+            hb, wb = _bucket(h, cfg.bucket), _bucket(w, cfg.bucket)
+            img = _pad_to(d["X"], hb, wb)[None]
+            off = _pad_to(d["offset"], hb * s, wb * s)[None]
+            y = _pad_to(d["Y"], hb * s, wb * s)[None]
+            mask = np.zeros((1, hb * s, wb * s, 1), np.float32)
+            mask[:, :h * s, :w * s] = 1.0
+            yield (img, off, y, mask)
+
+    # ---- main loop ----------------------------------------------------------
+
+    def fit(self, data: dict[str, dict[str, np.ndarray]], params=None,
+            epochs: int | None = None, log=print):
+        cfg = self.cfg
+        params = params if params is not None else self.init_params()
+        opt_state = self.optimizer.init(params)
+        rng = np.random.default_rng(cfg.seed)
+        epochs = epochs if epochs is not None else cfg.epochs
+
+        for epoch in range(epochs):
+            t0 = time.perf_counter()
+            losses, maes = [], []
+            batches = (self._patch_batches(data, rng) if cfg.mode == "patch"
+                       else self._image_batches(data))
+            for bi, (img, off, y, mask) in enumerate(batches):
+                params, opt_state, loss, mae = self.step_fn(
+                    params, opt_state, img, off, y, mask)
+                losses.append(float(loss))
+                maes.append(float(mae))
+                if (bi + 1) % cfg.log_every == 0:
+                    log(f"epoch {epoch + 1} batch {bi + 1}: "
+                        f"loss={losses[-1]:.8f} mae={maes[-1]:.8f}")
+            rec = {"epoch": epoch + 1,
+                   "loss": float(np.mean(losses)),
+                   "mae": float(np.mean(maes)),
+                   "seconds": time.perf_counter() - t0}
+            self.history.append(rec)
+            log(f"epoch {rec['epoch']}/{epochs}: loss={rec['loss']:.8f} "
+                f"mae={rec['mae']:.8f} ({rec['seconds']:.2f}s)")
+        return params

@@ -1,0 +1,110 @@
+"""Evaluation metrics: self-consistency + calibration against the numbers the
+reference itself published (cp_image/metrics_report.csv) on its checked-in
+images — the strongest available cross-implementation gate."""
+
+import csv
+import io
+
+import numpy as np
+import pytest
+
+from bicubic_interpolation_model_tpu.evaluation import compare as cmp
+from bicubic_interpolation_model_tpu.evaluation.metrics import (
+    compare_images,
+    mse,
+    psnr,
+    ssim,
+    to_gray_bt601,
+)
+from bicubic_interpolation_model_tpu.utils import imageio
+
+from conftest import random_image
+
+
+def test_psnr_identical_is_inf(rng):
+    img = random_image(rng, 16, 16)
+    m = compare_images(img, img)
+    assert np.isinf(m.psnr)
+    assert m.mse == 0
+    assert m.ssim == pytest.approx(1.0, abs=1e-9)
+
+
+def test_gray_bt601_rounding():
+    img = np.zeros((1, 1, 3), np.uint8)
+    img[0, 0] = [1, 1, 0]  # 0.299+0.587 = 0.886 → rounds to 1
+    assert to_gray_bt601(img)[0, 0] == 1
+
+
+def test_metrics_match_reference_csv(reference_root):
+    """Recompute PSNR/MSE for rows of the reference's own metrics_report.csv
+    on its checked-in images: identical definitions, must match to ~0.01.
+
+    SSIM is checked for *ordering* agreement only: the reference's SSIM
+    column came from ssim.js being handed a {data: w*h gray buffer} where it
+    expects w*h*4 RGBA (compare_image.js:134-141), which inflates its values
+    to ~0.998; no standard SSIM reproduces that. We use Wang et al. 2004
+    (gaussian 11x11, with the customary pre-downsampling) instead."""
+    rows = {}
+    with open(reference_root / "cp_image" / "metrics_report.csv") as f:
+        for row in csv.DictReader(f):
+            if row["IMAGE_ID"] and row["IMAGE_ID"] != "AVERAGE":
+                rows[(row["IMAGE_ID"], row["METHOD"])] = row
+
+    checked = 0
+    ours = {}
+    # ids that have BOTH an hr_images png and rebuilds (0801/0807/... lack HR)
+    for (image_id, method) in [("0802", "bicubic_-0.5"), ("0802", "nearest"),
+                               ("0843", "bilinear")]:
+        if (image_id, method) not in rows:
+            continue
+        want = rows[(image_id, method)]
+        hr = imageio.load_rgba(
+            reference_root / "cp_image" / "hr_images" / f"{image_id}.png")
+        rb = imageio.load_rgba(
+            reference_root / "cp_image" / "rebuild_hr_images" / image_id
+            / f"{method}.png")
+        m = compare_images(hr, rb)
+        assert m.psnr == pytest.approx(float(want["PSNR(dB)"]), abs=0.02), (
+            image_id, method)
+        assert m.mse == pytest.approx(float(want["MSE"]), rel=0.005), (
+            image_id, method)
+        assert 0 < m.ssim <= 1
+        ours[(image_id, method)] = m.ssim
+        checked += 1
+    assert checked >= 2
+    # ordering agreement on the two 0802 methods: bicubic beats nearest
+    if ("0802", "bicubic_-0.5") in ours and ("0802", "nearest") in ours:
+        ref_order = (float(rows[("0802", "bicubic_-0.5")]["SSIM"])
+                     > float(rows[("0802", "nearest")]["SSIM"]))
+        our_order = (ours[("0802", "bicubic_-0.5")]
+                     > ours[("0802", "nearest")])
+        assert ref_order == our_order
+
+
+def test_diff_image_semantics(rng):
+    a = random_image(rng, 8, 8)
+    d = cmp.diff_image(a, a)
+    assert (d[..., 0] == 255).all() and (d[..., 1] == 255).all()
+    b = a.copy()
+    b[..., 0] = 255 - b[..., 0]
+    d2 = cmp.diff_image(a, b)
+    assert (d2[..., 1] <= d[..., 1]).all()
+
+
+def test_run_comparison_and_csv(tmp_path, rng):
+    root = tmp_path / "cp_image"
+    hr = random_image(rng, 32, 32)
+    rb = hr.copy()
+    rb[..., 0] ^= 4
+    imageio.save_png(root / "hr_images" / "0001.png", hr)
+    imageio.save_png(root / "rebuild_hr_images" / "0001" / "methodA.png", rb)
+    results = cmp.run_comparison(root, ["0001"], ["methodA", "missing"],
+                                 log=lambda *_: None)
+    assert results[0].metrics is not None
+    assert results[1].error is not None
+    avgs = cmp.method_averages(results)
+    cmp.export_csv(tmp_path / "metrics_report.csv", results, avgs)
+    text = (tmp_path / "metrics_report.csv").read_text()
+    assert text.startswith("IMAGE_ID,METHOD,PSNR(dB),SSIM,MSE")
+    assert "AVERAGE,methodA" in text
+    assert (root / "or_diff" / "diff_0001_methodA.png").exists()

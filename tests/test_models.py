@@ -1,0 +1,139 @@
+"""Model tests: topology/shapes, TFJS checkpoint import, pixel-shuffle
+upsample semantics, training smoke, checkpoint round-trip."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from bicubic_interpolation_model_tpu.models.layers import (
+    PixelShuffleUpsample,
+    pixel_shuffle,
+)
+from bicubic_interpolation_model_tpu.models.weight_predictor import (
+    WeightPredictor,
+    init_params,
+)
+
+from conftest import random_image
+
+
+def test_weight_predictor_shapes():
+    model, params = init_params(jax.random.key(0))
+    img = jnp.zeros((1, 6, 5, 4))
+    off = jnp.zeros((1, 24, 20, 2))
+    out = model.apply(params, img, off)
+    assert out.shape == (1, 24, 20, 16)
+    assert np.abs(np.asarray(out)).max() <= 1.0  # tanh output
+
+
+def test_weight_predictor_param_count():
+    """~23k params like the reference checkpoints (93316-byte weights.bin
+    = 23329 float32)."""
+    _, params = init_params(jax.random.key(0))
+    n = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(params))
+    assert n == 23329
+
+
+def test_pixel_shuffle_upsample_semantics():
+    """out[sY+a, sX+b, o] = sum_i K[a,b,o,i] x[Y,X,i] + bias."""
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((1, 3, 2, 5)).astype(np.float32)
+    mod = PixelShuffleUpsample(features=4, scale=2)
+    params = mod.init(jax.random.key(1), jnp.asarray(x))
+    k = np.asarray(params["params"]["kernel"])
+    b = np.asarray(params["params"]["bias"])
+    out = np.asarray(mod.apply(params, jnp.asarray(x)))
+    assert out.shape == (1, 6, 4, 4)
+    want = np.einsum("byxi,pqoi->bypxqo", x, k).reshape(1, 6, 4, 4) + b
+    np.testing.assert_allclose(out, want, atol=1e-5)
+
+
+def test_pixel_shuffle_depth_to_space():
+    x = np.arange(1 * 2 * 2 * 8, dtype=np.float32).reshape(1, 2, 2, 8)
+    out = np.asarray(pixel_shuffle(jnp.asarray(x), 2))
+    assert out.shape == (1, 4, 4, 2)
+    # block (0,0) comes from x[0,0,0]: channels [c*s*s] split as (s, s, cout)
+    np.testing.assert_array_equal(out[0, 0, 0], x[0, 0, 0, 0:2])
+    np.testing.assert_array_equal(out[0, 0, 1], x[0, 0, 0, 2:4])
+    np.testing.assert_array_equal(out[0, 1, 0], x[0, 0, 0, 4:6])
+
+
+def test_tfjs_import_runs_reference_checkpoint(reference_root):
+    from bicubic_interpolation_model_tpu.models.tfjs_import import (
+        load_weight_predictor,
+        read_tfjs_weights,
+    )
+    tensors = read_tfjs_weights(reference_root / "model" / "1e-3-30")
+    assert tensors["conv2d_Conv2D1/kernel"].shape == (3, 3, 4, 32)
+    assert tensors["conv2d_transpose_Conv2DTranspose1/kernel"].shape == (4, 4, 16, 32)
+
+    model, params = load_weight_predictor(reference_root / "model" / "1e-3-30")
+    img = jnp.ones((1, 8, 8, 4)) * 0.5
+    off = jnp.zeros((1, 32, 32, 2))
+    out = np.asarray(model.apply(params, img, off))
+    assert out.shape == (1, 32, 32, 16)
+    assert np.isfinite(out).all()
+    # A trained model's predicted weights should roughly sum to 1 per pixel
+    sums = out.sum(-1)
+    assert 0.7 < sums.mean() < 1.3, sums.mean()
+
+
+def test_learned_super_resolve_with_reference_checkpoint(reference_root, rng):
+    from bicubic_interpolation_model_tpu.models.inference import super_resolve
+    from bicubic_interpolation_model_tpu.models.tfjs_import import (
+        load_weight_predictor,
+    )
+    model, params = load_weight_predictor(reference_root / "model" / "1e-3-30")
+    lr = random_image(rng, 12, 10)
+    sr = np.asarray(super_resolve(model, params, lr, scale=4))
+    assert sr.shape == (48, 40, 4)
+    assert sr.dtype == np.uint8
+
+
+def test_espcn_shapes():
+    from bicubic_interpolation_model_tpu.models.espcn import ESPCN, ESPCNResidual
+    x = jnp.zeros((2, 8, 8, 3))
+    for cls in (ESPCN, ESPCNResidual):
+        m = cls(scale=4)
+        p = m.init(jax.random.key(0), x)
+        y = m.apply(p, x)
+        assert y.shape == (2, 32, 32, 3)
+
+
+def test_trainer_smoke(rng):
+    """A few steps on synthetic data must reduce the loss."""
+    from bicubic_interpolation_model_tpu.ops.learned import gt_weight_map, offset_map
+    from bicubic_interpolation_model_tpu.train.trainer import (
+        TrainConfig,
+        WeightPredictorTrainer,
+    )
+    s = 4
+    data = {}
+    for i in range(2):
+        img = random_image(rng, 12, 12).astype(np.float32) / 255.0
+        data[str(i)] = {
+            "X": img,
+            "offset": np.asarray(offset_map(48, 48, 4.0, "train")),
+            "Y": np.asarray(gt_weight_map(48, 48, 4.0, "train")),
+        }
+    tr = WeightPredictorTrainer(
+        __import__("bicubic_interpolation_model_tpu.models.weight_predictor",
+                   fromlist=["WeightPredictor"]).WeightPredictor(scale=s),
+        TrainConfig(mode="patch", patch_lr=8, batch_size=2, epochs=8,
+                    learning_rate=3e-3, log_every=1000),
+    )
+    tr.fit(data, log=lambda *_: None)
+    losses = [h["loss"] for h in tr.history]
+    assert losses[-1] < losses[0]
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    from bicubic_interpolation_model_tpu.train import checkpoint
+    _, params = init_params(jax.random.key(0))
+    checkpoint.save(tmp_path / "ck", params, meta={"scale": 4})
+    _, params2 = init_params(jax.random.key(1))
+    restored, meta = checkpoint.load(tmp_path / "ck", params2)
+    assert meta == {"scale": 4}
+    for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(restored)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
