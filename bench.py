@@ -22,7 +22,7 @@ def main():
     )
 
     backend = jax.default_backend()
-    impls = ("phase", "matmul", "pallas") if backend == "tpu" else ("matmul",)
+    impls = ("pallas_phase", "pallas") if backend == "tpu" else ("matmul",)
     best, results = headline(impls=impls, runs=5)
     for r in results:
         print(f"# {r}", file=sys.stderr)

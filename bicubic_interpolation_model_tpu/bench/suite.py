@@ -3,13 +3,22 @@
 Headline metric: bicubic 4x upscale throughput in GPix/s (output pixels) on
 one chip, with ±1-u8-LSB parity vs the float64 oracle. Reference baseline:
 0.39 MPix/s for the JS kernel (BASELINE.md, cp_performance/bsr csv).
+
+Methodology note: the TPU here sits behind a high-latency tunnel whose
+block_until_ready is effectively async and whose host readbacks cost seconds,
+so single-dispatch wall timing is meaningless. The honest measurement chains
+K resizes *inside one jit program* (fori_loop, inputs perturbed per iteration
+to defeat CSE, on-device checksum) with a single scalar readback, and takes
+the slope between two K values to cancel fixed dispatch overhead.
 """
 
 from __future__ import annotations
 
 import functools
+import time
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from ..core.oracle import resize_oracle
@@ -35,8 +44,59 @@ def check_parity(scale=4, method="bicubic", impl="auto", h=96, w=64):
     return int(np.abs(got - want).max())
 
 
+def _resize_for_impl(impl, scale, method):
+    interp = jax.default_backend() != "tpu"
+    if impl == "pallas_phase":
+        from ..ops.pallas_phase import resize_phase_pallas
+        return lambda x: resize_phase_pallas(x, int(scale), method,
+                                             interpret=interp)
+    if impl == "pallas":
+        from ..ops.pallas_resize import resize_pallas
+        return lambda x: resize_pallas(x, int(scale), method,
+                                       interpret=interp)
+    from ..ops.resize import _resize_jit
+    return lambda x: _resize_jit(x, float(scale), method, impl, -0.5, 3)
+
+
+def bench_resize_ondevice(h, w, scale, method="bicubic", impl="pallas",
+                          k_lo=5, k_hi=50, reps=2):
+    """Per-frame seconds via the chained-K slope (see module docstring)."""
+    img = jax.device_put(_make_input(h, w))
+    fn = _resize_for_impl(impl, scale, method)
+
+    @jax.jit
+    def chained(img, k):
+        def body(i, acc):
+            x = img ^ i.astype(jnp.uint8)
+            y = fn(x)
+            return acc + jnp.sum(y[::64, ::64].astype(jnp.int32))
+        return jax.lax.fori_loop(0, k, body, jnp.int32(0))
+
+    int(np.asarray(chained(img, 1)))  # compile once (k is dynamic)
+
+    def timed(k):
+        best = np.inf
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            int(np.asarray(chained(img, k)))
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    t_lo, t_hi = timed(k_lo), timed(k_hi)
+    per_frame = max((t_hi - t_lo) / (k_hi - k_lo), 1e-9)
+    out_pix = int(h * scale) * int(w * scale)
+    return {
+        "impl": impl, "method": method,
+        "shape": f"{h}x{w}x{scale}",
+        "ms_per_frame": per_frame * 1e3,
+        "out_mpix": out_pix / 1e6,
+        "gpix_per_s": out_pix / per_frame / 1e9,
+    }
+
+
 def bench_resize(h, w, scale, method="bicubic", impl="auto", c=4,
                  runs=5, test_item=None, out_dir=None):
+    """Wall-clock harness variant (CSV output, CLI flows; fine on CPU)."""
     img = jax.device_put(_make_input(h, w, c))
     fn = functools.partial(resize, img, scale, method, impl=impl)
     name = test_item or f"{method}_{impl}_{h}x{w}x{scale}"
@@ -47,14 +107,18 @@ def bench_resize(h, w, scale, method="bicubic", impl="auto", c=4,
             "out_mpix": out_pix / 1e6, "gpix_per_s": gpix_s}
 
 
-def headline(impls=("phase", "matmul", "pallas"), runs=5):
+def headline(impls=("pallas_phase", "pallas"), runs=5, h=1080, w=1920, scale=4):
     """Best bicubic 4x GPix/s on a 1080p frame, with parity check."""
+    on_tpu = jax.default_backend() == "tpu"
     results = []
     for impl in impls:
         try:
-            r = bench_resize(1080, 1920, 4, "bicubic", impl=impl, runs=runs)
-            r["impl"] = impl
-            r["max_u8_delta"] = check_parity(4, "bicubic", impl=impl)
+            if on_tpu:
+                r = bench_resize_ondevice(h, w, scale, "bicubic", impl=impl)
+            else:
+                r = bench_resize(h, w, scale, "bicubic", impl=impl, runs=runs)
+                r["impl"] = impl
+            r["max_u8_delta"] = check_parity(scale, "bicubic", impl=impl)
             results.append(r)
         except Exception as e:  # an impl may be unsupported on this backend
             results.append({"impl": impl, "error": f"{type(e).__name__}: {e}"})

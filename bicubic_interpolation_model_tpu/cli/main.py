@@ -164,6 +164,27 @@ def cmd_train(args):
     print(f"checkpoint saved → {out}")
 
 
+def cmd_train_sr(args):
+    """Train a direct-SR baseline (ESPCN family) from an HR image dir."""
+    from ..data.onthefly import load_hr_dir
+    from ..models.espcn import MODEL_ZOO
+    from ..train import checkpoint
+    from ..train.direct_trainer import DirectSRConfig, DirectSRTrainer
+    ws = _ws(args)
+    data = load_hr_dir(args.hr_dir, scale=args.scale, keep_hr=True,
+                       limit=args.limit)
+    cfg = DirectSRConfig(learning_rate=args.lr, epochs=args.epochs,
+                         patch_lr=args.patch_lr, batch_size=args.batch_size,
+                         scale=args.scale)
+    trainer = DirectSRTrainer(MODEL_ZOO[args.model](scale=args.scale), cfg)
+    params = trainer.fit(data)
+    out = ws / "model" / args.model
+    checkpoint.save(out, params, meta={"model": args.model,
+                                       "scale": args.scale,
+                                       "history": trainer.history[-5:]})
+    print(f"checkpoint saved → {out}")
+
+
 def cmd_validate_data(args):
     from ..data.validate import validate_dataset
     ws = _ws(args)
@@ -273,6 +294,18 @@ def build_parser():
     sp.add_argument("--patch-lr", type=int, default=64)
     sp.add_argument("--scale", type=int, default=4)
     sp.set_defaults(func=cmd_train)
+
+    sp = sub.add_parser("train-sr", help="train an ESPCN-family SR baseline")
+    sp.add_argument("--model", default="espcn_medium",
+                    choices=("espcn_medium", "espcn_thick"))
+    sp.add_argument("--hr-dir", required=True)
+    sp.add_argument("--lr", type=float, default=1e-3)
+    sp.add_argument("--epochs", type=int, default=50)
+    sp.add_argument("--patch-lr", type=int, default=32)
+    sp.add_argument("--batch-size", type=int, default=16)
+    sp.add_argument("--scale", type=int, default=4)
+    sp.add_argument("--limit", type=int)
+    sp.set_defaults(func=cmd_train_sr)
 
     sp = sub.add_parser("validate-data", help="validate the dataset (vd)")
     sp.add_argument("--split", default="train")

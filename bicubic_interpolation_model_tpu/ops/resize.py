@@ -149,7 +149,9 @@ def _resize_jit(img_hwc, scale, method, impl, a, lanczos_a):
 
     if impl == "auto":
         impl = "phase" if _is_integer_upscale(scale) and method == "bicubic" else "matmul"
-        # phase path only covers 4-tap kernels; others use the MXU matmul
+        # phase path only covers 4-tap kernels; others use the MXU matmul.
+        # (The fused pallas kernel is faster still on real TPUs but routes
+        # through resize(impl="pallas") at the caller level — see resize().)
     if impl == "gather":
         out = _resize_gather(chw, plan_y, plan_x)
     elif impl == "matmul":
@@ -176,9 +178,15 @@ def resize(img, scale: float, method: Method = "bicubic", *,
     uint8 input → uint8 output (JS rounding); float input → float output.
     ``impl``: auto | gather | matmul | phase | pallas.
     """
+    if impl == "auto" and _is_integer_upscale(scale) \
+            and jax.default_backend() == "tpu":
+        impl = "pallas_phase"  # fused phase-FMA kernel: fastest on real TPUs
     if impl == "pallas":
         from .pallas_resize import resize_pallas
         return resize_pallas(img, scale, method=method, a=a)
+    if impl == "pallas_phase":
+        from .pallas_phase import resize_phase_pallas
+        return resize_phase_pallas(img, scale, method=method, a=a)
     return _resize_jit(jnp.asarray(img), float(scale), method, impl, float(a), int(lanczos_a))
 
 

@@ -117,6 +117,12 @@ class WeightPredictorTrainer:
                and v["X"].shape[1] >= p]
         if not ids:
             raise ValueError(f"no sample is >= {p}x{p} LR pixels")
+        # offset/Y maps are SxS-periodic tiles for the training convention —
+        # synthesize them for samples that carry only X (data.onthefly).
+        synth = any("Y" not in data[i] for i in ids)
+        if synth:
+            from ..data.onthefly import target_tiles
+            off_tile, y_tile = target_tiles(p, s)
         n_batches = max(1, len(ids))
         for _ in range(n_batches):
             imgs, offs, ys = [], [], []
@@ -126,8 +132,13 @@ class WeightPredictorTrainer:
                 y0 = int(rng.integers(h - p + 1))
                 x0 = int(rng.integers(w - p + 1))
                 imgs.append(d["X"][y0:y0 + p, x0:x0 + p])
-                offs.append(d["offset"][y0 * s:(y0 + p) * s, x0 * s:(x0 + p) * s])
-                ys.append(d["Y"][y0 * s:(y0 + p) * s, x0 * s:(x0 + p) * s])
+                if "Y" in d:
+                    offs.append(d["offset"][y0 * s:(y0 + p) * s,
+                                            x0 * s:(x0 + p) * s])
+                    ys.append(d["Y"][y0 * s:(y0 + p) * s, x0 * s:(x0 + p) * s])
+                else:
+                    offs.append(off_tile)
+                    ys.append(y_tile)
             mask = np.ones((cfg.batch_size, p * s, p * s, 1), np.float32)
             yield (np.stack(imgs), np.stack(offs), np.stack(ys), mask)
 

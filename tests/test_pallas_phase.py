@@ -1,0 +1,40 @@
+"""Fused phase-FMA Pallas kernel vs the float64 oracle (interpret mode)."""
+
+import numpy as np
+import pytest
+
+from bicubic_interpolation_model_tpu.core.oracle import resize_oracle
+from bicubic_interpolation_model_tpu.ops.pallas_phase import resize_phase_pallas
+
+from conftest import random_image
+from test_ops_resize import assert_u8_parity
+
+
+@pytest.mark.parametrize("method", ["nearest", "bilinear", "bicubic", "lanczos"])
+def test_phase_pallas_parity(rng, method):
+    img = random_image(rng, 24, 18)
+    want = resize_oracle(img, 4.0, method)
+    got = resize_phase_pallas(img, 4, method, step=8)
+    assert got.shape == want.shape
+    assert_u8_parity(got, want)
+
+
+@pytest.mark.parametrize("scale", [2, 3])
+def test_phase_pallas_scales(rng, scale):
+    img = random_image(rng, 22, 20)
+    assert_u8_parity(resize_phase_pallas(img, scale, "bicubic", step=8),
+                     resize_oracle(img, float(scale), "bicubic"))
+
+
+def test_phase_pallas_rgb_and_small(rng):
+    img = random_image(rng, 7, 5, c=3)
+    assert_u8_parity(resize_phase_pallas(img, 4, "bicubic", step=8),
+                     resize_oracle(img, 4.0, "bicubic"))
+
+
+def test_phase_pallas_float(rng):
+    img = random_image(rng, 12, 10).astype(np.float32)
+    out = np.asarray(resize_phase_pallas(img, 2, "bicubic", step=8))
+    assert out.dtype == np.float32
+    want = resize_oracle(img.astype(np.uint8), 2.0, "bicubic")
+    assert_u8_parity(np.clip(np.floor(out + 0.5), 0, 255), want)
