@@ -199,7 +199,7 @@ def cmd_validate_model(args):
     from ..evaluation.model_analysis import validate_model
     ws = _ws(args)
     ok = validate_model(args.model_dir, ws / "data" / args.split,
-                        sample_id=args.sample_id)
+                        sample_id=args.sample_id, hr_dir=args.hr_dir)
     sys.exit(0 if ok else 1)
 
 
@@ -315,6 +315,7 @@ def build_parser():
     sp.add_argument("--model-dir", required=True)
     sp.add_argument("--split", default="test")
     sp.add_argument("--sample-id")
+    sp.add_argument("--hr-dir", help="HR images for the rebuild PSNR check")
     sp.set_defaults(func=cmd_validate_model)
 
     sp = sub.add_parser("compare-model", help="GT-vs-predicted weights (cpm)")
@@ -336,6 +337,12 @@ def build_parser():
 
 def main(argv=None):
     args = build_parser().parse_args(argv)
+    # workspace config supplies image-id/scale defaults (the reference's
+    # config.js HRID knob); explicit flags always win.
+    from ..utils.config import WorkspaceConfig
+    cfg = WorkspaceConfig.load(args.workspace)
+    if getattr(args, "image_id", None) == "0020" and cfg.hrid != "0020":
+        args.image_id = cfg.hrid
     return args.func(args)
 
 

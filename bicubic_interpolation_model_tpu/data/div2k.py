@@ -26,7 +26,7 @@ import pathlib
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops.downsample import downsample
+from ..ops.downsample import downsample_np
 from ..ops.learned import gt_weight_map
 from ..ops.adaptive import adaptive_gt_factors
 from ..utils import imageio
@@ -57,7 +57,7 @@ def generate_sample(hr_rgba: np.ndarray, scale: int = 4,
     weights [H_sr,W_sr,16])."""
     hr = align_crop(hr_rgba, scale)
     h_sr, w_sr = hr.shape[:2]
-    lr_u8 = downsample(hr, float(scale), down_method)
+    lr_u8 = downsample_np(hr, float(scale), down_method)
     x = np.asarray(lr_u8, dtype=np.float32) / 255.0
     from ..ops.learned import offset_map
     offsets = np.asarray(offset_map(h_sr, w_sr, float(scale), "train"))

@@ -18,7 +18,7 @@ import pathlib
 
 import numpy as np
 
-from ..ops.downsample import downsample
+from ..ops.downsample import downsample_np
 from ..utils import imageio
 from .div2k import IMAGE_EXTS, align_crop
 
@@ -35,7 +35,7 @@ def load_hr_dir(hr_dir, *, scale: int = 4, down_method: str = "cubic",
     for p in files:
         try:
             hr = align_crop(imageio.load_rgba(p), scale)
-            lr = np.asarray(downsample(hr, float(scale), down_method))
+            lr = downsample_np(hr, float(scale), down_method)
             rec = {"X": lr.astype(np.float32) / 255.0}
             if keep_hr:
                 rec["HR"] = hr

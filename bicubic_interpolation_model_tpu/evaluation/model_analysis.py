@@ -39,9 +39,12 @@ def predict_weight_map(model_dir, x, offsets) -> np.ndarray:
 
 
 def validate_model(model_dir, data_root, sample_id: str | None = None,
-                   log=print) -> bool:
+                   hr_dir=None, log=print) -> bool:
     """Predict on one sample; check weight sums ≈ 1, report extremes and
-    negative-weight counts (validate_model.js:119-198 equivalents)."""
+    negative-weight counts (validate_model.js:119-198 equivalents). With
+    ``hr_dir`` also rebuilds the image and reports PSNR/SSIM vs the HR
+    ground truth (the v2.0 end-to-end smoke test,
+    version2.0/utils/validate_model.js:300-367)."""
     data_root = pathlib.Path(data_root)
     meta = binfmt.read_metadata(data_root / "metadata.json")
     sid = sample_id or sorted(meta)[0]
@@ -61,6 +64,20 @@ def validate_model(model_dir, data_root, sample_id: str | None = None,
             f"min={ws.min():.4f} max={ws.max():.4f} "
             f"negatives={int((ws < 0).sum())}")
     ok = bool(abs(float(sums.mean()) - 1.0) < 0.1)
+
+    if hr_dir is not None:
+        hr_path = pathlib.Path(hr_dir) / f"{sid}.png"
+        if hr_path.exists():
+            from ..ops.learned import apply_weights
+            from ..utils import imageio
+            from .metrics import compare_images
+            sr = np.asarray(apply_weights(x * 255.0, pred)).astype(np.uint8)
+            hr = imageio.load_rgba(hr_path)[:sr.shape[0], :sr.shape[1]]
+            m = compare_images(hr, sr)
+            log(f"  rebuild vs HR: PSNR={m.psnr:.2f} dB SSIM={m.ssim:.4f} "
+                f"MSE={m.mse:.2f}")
+        else:
+            log(f"  (no HR image for {sid} under {hr_dir}; rebuild skipped)")
     log("OK" if ok else "FAIL: mean weight sum far from 1")
     return ok
 

@@ -56,3 +56,29 @@ def downsample(img, factor: float, method: str = "cubic",
     else:
         h_out, w_out = out_shape
     return _downsample_jit(img, float(factor), method, h_out, w_out)
+
+
+def downsample_np(img: np.ndarray, factor: float, method: str = "cubic",
+                  out_shape: tuple[int, int] | None = None) -> np.ndarray:
+    """Host-side NumPy variant (float64) — same plans/semantics as
+    :func:`downsample`. Data pipelines use this so that per-image-shape jit
+    compiles don't serialize against device training jobs."""
+    img = np.asarray(img)
+    squeeze = img.ndim == 2
+    if squeeze:
+        img = img[..., None]
+    h, w = img.shape[:2]
+    h_out = int(h // factor) if out_shape is None else out_shape[0]
+    w_out = int(w // factor) if out_shape is None else out_shape[1]
+    m_row = planlib.plan_to_matrix(
+        planlib.plan_downsample(h, factor, method, n_out=h_out), np.float64)
+    m_col = planlib.plan_to_matrix(
+        planlib.plan_downsample(w, factor, method, n_out=w_out), np.float64)
+    x = img.astype(np.float64)
+    t = np.einsum("oh,hwc->owc", m_row, x)
+    out = np.einsum("owc,xw->oxc", t, m_col)
+    if img.dtype == np.uint8:
+        out = np.clip(np.floor(out + 0.5), 0, 255).astype(np.uint8)
+    else:
+        out = out.astype(img.dtype)
+    return out[..., 0] if squeeze else out

@@ -157,19 +157,60 @@ class WeightPredictorTrainer:
 
     # ---- main loop ----------------------------------------------------------
 
+    def _synth_patch_batches(self, data, rng, device_targets):
+        """Patch batches when offset/Y are synthesized: only the images move
+        host→device; the (identical) target tiles stay device-resident —
+        essential behind a slow-transfer tunnel."""
+        cfg = self.cfg
+        p = cfg.patch_lr
+        off_b, y_b, mask_b = device_targets
+        ids = [k for k, v in data.items() if v["X"].shape[0] >= p
+               and v["X"].shape[1] >= p]
+        if not ids:
+            raise ValueError(f"no sample is >= {p}x{p} LR pixels")
+        for _ in range(max(1, len(ids))):
+            imgs = []
+            for _ in range(cfg.batch_size):
+                d = data[ids[rng.integers(len(ids))]]
+                h, w = d["X"].shape[:2]
+                y0 = int(rng.integers(h - p + 1))
+                x0 = int(rng.integers(w - p + 1))
+                imgs.append(d["X"][y0:y0 + p, x0:x0 + p])
+            yield (np.stack(imgs), off_b, y_b, mask_b)
+
     def fit(self, data: dict[str, dict[str, np.ndarray]], params=None,
             epochs: int | None = None, log=print):
+        import jax
+
         cfg = self.cfg
         params = params if params is not None else self.init_params()
         opt_state = self.optimizer.init(params)
         rng = np.random.default_rng(cfg.seed)
         epochs = epochs if epochs is not None else cfg.epochs
 
+        synth = cfg.mode == "patch" and any(
+            "Y" not in v for v in data.values())
+        device_targets = None
+        if synth:
+            from ..data.onthefly import target_tiles
+            off_tile, y_tile = target_tiles(cfg.patch_lr, cfg.scale)
+            b = cfg.batch_size
+            n = cfg.patch_lr * cfg.scale
+            device_targets = (
+                jax.device_put(np.broadcast_to(off_tile[None], (b, n, n, 2)).copy()),
+                jax.device_put(np.broadcast_to(y_tile[None], (b, n, n, 16)).copy()),
+                jax.device_put(np.ones((b, n, n, 1), np.float32)),
+            )
+
         for epoch in range(epochs):
             t0 = time.perf_counter()
             losses, maes = [], []
-            batches = (self._patch_batches(data, rng) if cfg.mode == "patch"
-                       else self._image_batches(data))
+            if synth:
+                batches = self._synth_patch_batches(data, rng, device_targets)
+            elif cfg.mode == "patch":
+                batches = self._patch_batches(data, rng)
+            else:
+                batches = self._image_batches(data)
             for bi, (img, off, y, mask) in enumerate(batches):
                 params, opt_state, loss, mae = self.step_fn(
                     params, opt_state, img, off, y, mask)
