@@ -1,0 +1,97 @@
+#!/usr/bin/env python3
+"""Measure every BASELINE.json config on the real chip and write
+results/bench_configs.json.
+
+1. 256x256 gray, 2x bicubic
+2. 512x512 RGB(A), 4x with edge clamp
+3. batch of 64 RGBA images, mixed 2x/3x/4x (bucketed jit cache: one compiled
+   program per scale, vmap over the batch slice)
+4. 4K (3840x2160) RGBA frame, 4x (tiled kernel, ~530 MB u8 output)
+5. 1080p stream 2x — sustained fps on one chip (mesh scaling is validated by
+   __graft_entry__.dryrun_multichip; only one real chip exists here)
+
+All timings use the chained-K on-device methodology (bench.suite).
+"""
+
+import json
+import pathlib
+import sys
+import time
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from bicubic_interpolation_model_tpu.bench.suite import (
+        bench_resize_ondevice, check_parity)
+    from bicubic_interpolation_model_tpu.ops.pallas_phase import (
+        resize_phase_pallas)
+
+    impl = "pallas_phase" if jax.default_backend() == "tpu" else "matmul"
+    out = {"backend": jax.default_backend(), "impl": impl, "configs": {}}
+
+    # 1-2, 4-5: single-frame configs
+    for key, (h, w, s) in {
+        "c1_256_gray_2x": (256, 256, 2),
+        "c2_512_rgb_4x": (512, 512, 4),
+        "c4_4k_4x": (2160, 3840, 4),
+        "c5_1080p_2x_stream": (1080, 1920, 2),
+    }.items():
+        r = bench_resize_ondevice(h, w, s, "bicubic", impl=impl)
+        r["max_u8_delta"] = check_parity(s, "bicubic", impl=impl)
+        if key == "c5_1080p_2x_stream":
+            r["fps"] = 1e3 / r["ms_per_frame"]
+        out["configs"][key] = r
+        print(key, r)
+
+    # 3: batch of 64, mixed scales (bucketed: one jit per scale)
+    interp = jax.default_backend() != "tpu"
+    rng = np.random.default_rng(0)
+    batch = jax.device_put(rng.integers(0, 256, (64, 256, 256, 4), np.uint8))
+
+    def batched(scale):
+        f = lambda im: resize_phase_pallas(im, scale, "bicubic",
+                                           interpret=interp)
+        return jax.jit(lambda b: jax.vmap(f)(b))
+
+    fns = {s: batched(s) for s in (2, 3, 4)}
+
+    @jax.jit
+    def run_all(b):
+        # 64 images split into 3 buckets: ~22/21/21 per scale
+        outs = []
+        for s, n in ((2, 22), (3, 21), (4, 21)):
+            y = jax.vmap(lambda im: resize_phase_pallas(
+                im, s, "bicubic", interpret=interp))(b[:n])
+            outs.append(jnp.sum(y[:, ::64, ::64].astype(jnp.int32)))
+        return sum(outs)
+
+    int(np.asarray(run_all(batch)))  # compile
+    ts = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        int(np.asarray(run_all(batch)))
+        ts.append(time.perf_counter() - t0)
+    total_out_pix = 22 * (512 * 512) + 21 * (768 * 768) + 21 * (1024 * 1024)
+    best = min(ts)
+    out["configs"]["c3_batch64_mixed"] = {
+        "seconds": best,
+        "out_mpix": total_out_pix / 1e6,
+        "gpix_per_s": total_out_pix / best / 1e9,
+        "note": "64 images, 3 scale buckets, one dispatch",
+    }
+    print("c3_batch64_mixed", out["configs"]["c3_batch64_mixed"])
+
+    res = pathlib.Path(__file__).resolve().parents[1] / "results"
+    res.mkdir(exist_ok=True)
+    (res / "bench_configs.json").write_text(json.dumps(out, indent=2))
+    print(f"→ {res / 'bench_configs.json'}")
+
+
+if __name__ == "__main__":
+    main()

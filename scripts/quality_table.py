@@ -1,0 +1,108 @@
+#!/usr/bin/env python3
+"""Produce the framework's quality table (the reference's metrics_report.csv
+flow) over the checked-in HR images: LR = lanczos3 /4 downsample, rebuild with
+every method (classical + learned + neural baselines), PSNR/SSIM/MSE vs HR.
+
+Writes results/metrics_report.csv and prints the per-method averages.
+Note: the learned checkpoints were trained on these HR images EXCEPT 0020
+(held out) — 0020's row is the honest generalization number.
+
+Run on CPU (quality, not perf): JAX_PLATFORM_NAME=cpu python scripts/quality_table.py
+"""
+
+import pathlib
+import sys
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
+
+import numpy as np
+
+REF = pathlib.Path("/root/reference/version3.0")
+IDS = ["0020", "0691", "0802", "0803", "0843", "0886"]
+SCALE = 4
+
+
+def main():
+    import jax
+    if "cpu" not in jax.default_backend():
+        jax.config.update("jax_platforms", "cpu")
+
+    from bicubic_interpolation_model_tpu.data.div2k import align_crop
+    from bicubic_interpolation_model_tpu.evaluation import compare as cmp
+    from bicubic_interpolation_model_tpu.evaluation.metrics import compare_images
+    from bicubic_interpolation_model_tpu.models.inference import (
+        super_resolve, super_resolve_direct)
+    from bicubic_interpolation_model_tpu.models.tfjs_import import (
+        load_weight_predictor)
+    from bicubic_interpolation_model_tpu.ops.adaptive import adaptive_resize
+    from bicubic_interpolation_model_tpu.ops.downsample import downsample_np
+    from bicubic_interpolation_model_tpu.ops.resize import resize
+    from bicubic_interpolation_model_tpu.train import checkpoint
+    from bicubic_interpolation_model_tpu.utils import imageio
+
+    root = pathlib.Path(__file__).resolve().parents[1]
+
+    # learned models
+    ref_model, ref_params = load_weight_predictor(REF / "model" / "1e-3-30")
+    own = {}
+    wp_dirs = sorted((root / "model").glob("wp-*"))
+    if wp_dirs:
+        from bicubic_interpolation_model_tpu.models.weight_predictor import (
+            init_params)
+        import jax as _jax
+        m, template = init_params(_jax.random.key(0))
+        p, _ = checkpoint.load(wp_dirs[-1], template)
+        own["wp"] = (m, p, wp_dirs[-1].name)
+    for name in ("espcn_medium", "espcn_thick"):
+        d = root / "model" / name
+        if d.exists():
+            from bicubic_interpolation_model_tpu.models.espcn import MODEL_ZOO
+            import jax as _jax
+            m = MODEL_ZOO[name](scale=SCALE)
+            template = m.init(_jax.random.key(0),
+                              np.zeros((1, 8, 8, 3), np.float32))
+            p, _ = checkpoint.load(d, template)
+            own[name] = (m, p, name)
+
+    results = []
+    for image_id in IDS:
+        hr = align_crop(imageio.load_rgba(REF / "cp_image" / "hr_images"
+                                          / f"{image_id}.png"), SCALE)
+        lr = downsample_np(hr, float(SCALE), "lanczos3")
+
+        rebuilds = {
+            "nearest": np.asarray(resize(lr, SCALE, "nearest")),
+            "bilinear": np.asarray(resize(lr, SCALE, "bilinear")),
+            "bicubic_-0.5": np.asarray(resize(lr, SCALE, "bicubic")),
+            "lanczos": np.asarray(resize(lr, SCALE, "lanczos")),
+            "adaptive_bicubic_-0.5": np.asarray(adaptive_resize(lr, SCALE)),
+            "ref_1e-3-30": np.asarray(super_resolve(
+                ref_model, ref_params, lr, scale=SCALE, convention="train")),
+        }
+        if "wp" in own:
+            m, p, name = own["wp"]
+            rebuilds[name] = np.asarray(super_resolve(
+                m, p, lr, scale=SCALE, convention="train"))
+        for key in ("espcn_medium", "espcn_thick"):
+            if key in own:
+                m, p, name = own[key]
+                sr3 = np.asarray(super_resolve_direct(m, p, lr[..., :3]))
+                rebuilds[name] = np.concatenate(
+                    [sr3, np.full(sr3.shape[:2] + (1,), 255, np.uint8)], -1)
+
+        for method, sr in rebuilds.items():
+            met = compare_images(hr, sr)
+            results.append(cmp.CompareResult(image_id, method, met))
+            print(f"[{image_id}/{method}] PSNR={met.psnr:.2f} "
+                  f"SSIM={met.ssim:.4f} MSE={met.mse:.2f}")
+
+    avgs = cmp.method_averages(results)
+    out = root / "results" / "metrics_report.csv"
+    cmp.export_csv(out, results, avgs)
+    print(f"\n→ {out}\nMETHOD                  PSNR     SSIM      MSE")
+    for mname, v in sorted(avgs.items(), key=lambda kv: kv[1].psnr):
+        print(f"{mname:<22} {v.psnr:7.2f} {v.ssim:8.4f} {v.mse:9.2f}")
+
+
+if __name__ == "__main__":
+    main()
