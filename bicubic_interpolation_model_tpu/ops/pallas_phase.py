@@ -49,11 +49,11 @@ def _phase_kernel(wrow_ref, wcol_ref, aa_ref, ab_ref, ba_ref, bb_ref,
     wc = wstep * c
     hc = halo * c
     if halo:
-        top = jnp.concatenate([aa_ref[:], ab_ref[:, :hc]], axis=1)
-        bot = jnp.concatenate([ba_ref[:halo], bb_ref[:halo, :hc]], axis=1)
+        top = jnp.concatenate([aa_ref[0], ab_ref[0, :, :hc]], axis=1)
+        bot = jnp.concatenate([ba_ref[0, :halo], bb_ref[0, :halo, :hc]], axis=1)
         win = jnp.concatenate([top, bot], axis=0)   # [step+halo, (wstep+halo)*c]
     else:
-        win = aa_ref[:]
+        win = aa_ref[0]
     winf = win.astype(jnp.int32).astype(jnp.float32) if win.dtype == jnp.uint8 \
         else win.astype(jnp.float32)
 
@@ -76,14 +76,14 @@ def _phase_kernel(wrow_ref, wcol_ref, aa_ref, ab_ref, ba_ref, bb_ref,
             planes[p][q] = acc
     for p in range(scale):
         # sublane interleave of the q row-phases: [step, S, wc] -> [step*S, wc]
-        out_ref[p] = jnp.stack(planes[p], axis=1).reshape(step * scale, wc)
+        out_ref[0, p] = jnp.stack(planes[p], axis=1).reshape(step * scale, wc)
 
 
 @functools.partial(jax.jit, static_argnames=("scale", "method", "a", "step",
                                              "wstep", "interpret"))
-def _resize_phase_pallas(img_hwc, scale: int, method: str, a: float,
+def _resize_phase_pallas(img_bhwc, scale: int, method: str, a: float,
                          step: int, wstep: int, interpret: bool):
-    h, w, c = img_hwc.shape
+    b, h, w, c = img_bhwc.shape
     s = int(scale)
     kw = {"a": a} if method == "bicubic" else {}
     plan_y = planlib.plan_axis(method, h, float(scale), **kw)
@@ -122,53 +122,55 @@ def _resize_phase_pallas(img_hwc, scale: int, method: str, a: float,
 
     # zero-pad: `left` leading per axis; trailing so that the (i+1)/(j+1)
     # halo blocks are always in-bounds. Padded pixels carry zero weight.
-    x = jnp.pad(img_hwc, ((left, (n_i + 1) * step - h - left),
-                          (left, (n_j + 1) * wstep - w - left), (0, 0)))
-    x2 = x.reshape(x.shape[0], x.shape[1] * c)
+    # Batch is a leading grid dimension — per-image padding keeps halo
+    # windows from crossing image boundaries.
+    x = jnp.pad(img_bhwc, ((0, 0), (left, (n_i + 1) * step - h - left),
+                           (left, (n_j + 1) * wstep - w - left), (0, 0)))
+    x2 = x.reshape(b, x.shape[1], x.shape[2] * c)
 
-    in_dtype = img_hwc.dtype
+    in_dtype = img_bhwc.dtype
     out_u8 = in_dtype == jnp.uint8
     out_rows = n_i * step * s
 
     kernel = functools.partial(
         _phase_kernel, scale=s, step=step, wstep=wstep, c=c, taps=taps,
         out_u8=out_u8)
-    blk = lambda i, j: (i, j)
     out = pl.pallas_call(
         kernel,
-        grid=(n_i, n_j),
+        grid=(b, n_i, n_j),
         in_specs=[
-            pl.BlockSpec((step, s * taps), lambda i, j: (i, 0),
+            pl.BlockSpec((step, s * taps), lambda bi, i, j: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((s * taps, wstep * c), lambda i, j: (0, j),
+            pl.BlockSpec((s * taps, wstep * c), lambda bi, i, j: (0, j),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((step, wstep * c), lambda i, j: (i, j),
+            pl.BlockSpec((1, step, wstep * c), lambda bi, i, j: (bi, i, j),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((step, wstep * c), lambda i, j: (i, j + 1),
+            pl.BlockSpec((1, step, wstep * c), lambda bi, i, j: (bi, i, j + 1),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((step, wstep * c), lambda i, j: (i + 1, j),
+            pl.BlockSpec((1, step, wstep * c), lambda bi, i, j: (bi, i + 1, j),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((step, wstep * c), lambda i, j: (i + 1, j + 1),
+            pl.BlockSpec((1, step, wstep * c),
+                         lambda bi, i, j: (bi, i + 1, j + 1),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((s, step * s, wstep * c),
-                               lambda i, j: (0, i, j),
+        out_specs=pl.BlockSpec((1, s, step * s, wstep * c),
+                               lambda bi, i, j: (bi, 0, i, j),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct(
-            (s, out_rows, n_j * wstep * c),
+            (b, s, out_rows, n_j * wstep * c),
             jnp.uint8 if out_u8 else jnp.float32),
         cost_estimate=pl.CostEstimate(
-            flops=int(2 * out_rows * w * s * c * (taps + taps / s)),
+            flops=int(2 * b * out_rows * w * s * c * (taps + taps / s)),
             bytes_accessed=int(x2.size * x2.dtype.itemsize
-                               + out_rows * w * s * c),
+                               + b * out_rows * w * s * c),
             transcendentals=0,
         ),
         interpret=interpret,
     )(wrow, wcol, x2, x2, x2, x2)
-    # XLA-side column-phase interleave: [S_p, H_out, W_lr, C] →
-    # [H_out, W_lr, S_p, C] → [H_out, W_out, C] (one cheap u8 transpose pass)
-    out = out[:, :h * s, :w * c].reshape(s, h * s, w, c)
-    out = out.transpose(1, 2, 0, 3).reshape(h * s, w * s, c)
+    # XLA-side column-phase interleave: [B, S_p, H_out, W_lr, C] →
+    # [B, H_out, W_lr, S_p, C] → [B, H_out, W_out, C] (one cheap u8 pass)
+    out = out[:, :, :h * s, :w * c].reshape(b, s, h * s, w, c)
+    out = out.transpose(0, 2, 3, 1, 4).reshape(b, h * s, w * s, c)
     if not out_u8:
         out = out.astype(in_dtype)
     return out
@@ -177,18 +179,25 @@ def _resize_phase_pallas(img_hwc, scale: int, method: str, a: float,
 def resize_phase_pallas(img, scale, method: str = "bicubic", *,
                         a: float = -0.5, step: int = 16, wstep: int = 512,
                         interpret: bool | None = None):
-    """Fused phase-FMA resize. HW/HWC uint8 or float input, integer scale."""
+    """Fused phase-FMA resize. HW / HWC / BHWC uint8 or float input, integer
+    scale. A batch becomes a leading grid dimension — one kernel launch for
+    the whole batch (the sr.sh-style batch flow without vmap overhead)."""
     if not (float(scale) == int(scale) and scale >= 1):
         raise ValueError("phase pallas path requires an integer upscale")
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     img = jnp.asarray(img)
-    squeeze = img.ndim == 2
-    if squeeze:
+    squeeze_hw = img.ndim == 2
+    if squeeze_hw:
         img = img[..., None]
-    h, w = img.shape[:2]
+    squeeze_b = img.ndim == 3
+    if squeeze_b:
+        img = img[None]
+    h, w = img.shape[1:3]
     step_eff = min(step, _round_up(h, 8))
-    wstep_eff = min(wstep, _round_up(w, 128 // max(1, img.shape[2])))
+    wstep_eff = min(wstep, _round_up(w, 128 // max(1, img.shape[3])))
     out = _resize_phase_pallas(img, int(scale), method, float(a),
                                step_eff, wstep_eff, bool(interpret))
-    return out[..., 0] if squeeze else out
+    if squeeze_b:
+        out = out[0]
+    return out[..., 0] if squeeze_hw else out

@@ -1,0 +1,102 @@
+"""Serving API: compiled, reusable upscalers for production pipelines.
+
+The reference's "serving" story is one-shot node scripts; this module gives
+the framework a real deployment surface:
+
+- :class:`Upscaler` — classical-kernel upscaler pinned to one compiled
+  program per input shape (bucketed cache), batch-aware (batch = Pallas grid
+  dimension, no vmap), with a software-pipelined :meth:`stream` that overlaps
+  host↔device transfers of frame i with compute of frame i-1 (matters on
+  high-latency links).
+- :class:`ModelUpscaler` — the learned pipeline (weight predictor →
+  apply-weights) behind the same interface.
+
+Both return host uint8 arrays; device arrays are available via
+``fetch=False`` for chaining into other on-device work.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Iterable, Iterator
+
+import jax
+import numpy as np
+
+
+@dataclasses.dataclass
+class Upscaler:
+    scale: int = 4
+    method: str = "bicubic"
+    impl: str = "auto"
+    a: float = -0.5
+
+    def _fn(self):
+        from .ops.resize import resize
+        scale, method, impl, a = self.scale, self.method, self.impl, self.a
+
+        def f(img):
+            return resize(img, scale, method, impl=impl, a=a)
+        return f
+
+    def __call__(self, img_u8, fetch: bool = True):
+        out = self._fn()(img_u8)
+        return np.asarray(out) if fetch else out
+
+    def batch(self, imgs_u8, fetch: bool = True):
+        """[B, H, W, C] same-size images in one kernel launch."""
+        from .ops.pallas_phase import resize_phase_pallas
+        if self.impl in ("auto", "pallas_phase") \
+                and jax.default_backend() == "tpu" \
+                and float(self.scale) == int(self.scale):
+            out = resize_phase_pallas(imgs_u8, int(self.scale), self.method,
+                                      a=self.a)
+        else:
+            from .ops.resize import resize_batch
+            out = resize_batch(imgs_u8, self.scale, self.method,
+                               impl="auto" if self.impl == "auto" else self.impl,
+                               a=self.a)
+        return np.asarray(out) if fetch else out
+
+    def stream(self, frames: Iterable[np.ndarray]) -> Iterator[np.ndarray]:
+        """Software-pipelined stream: dispatch frame i, then fetch frame i-1
+        — keeps the device busy while results cross the host link."""
+        fn = self._fn()
+        pending = None
+        for frame in frames:
+            out = fn(jax.device_put(np.asarray(frame)))
+            if pending is not None:
+                yield np.asarray(pending)
+            pending = out
+        if pending is not None:
+            yield np.asarray(pending)
+
+
+@dataclasses.dataclass
+class ModelUpscaler:
+    """Learned SR behind the serving interface. ``model_dir`` may be a
+    reference TFJS checkpoint or a native one."""
+
+    model_dir: str
+    scale: int = 4
+    convention: str = "train"
+
+    def __post_init__(self):
+        from .evaluation.model_analysis import _load_model_any
+        self.model, self.params = _load_model_any(self.model_dir)
+
+    def __call__(self, lr_u8, fetch: bool = True):
+        from .models.inference import super_resolve
+        out = super_resolve(self.model, self.params, lr_u8,
+                            scale=self.scale, convention=self.convention)
+        return np.asarray(out) if fetch else out
+
+    def stream(self, frames: Iterable[np.ndarray]) -> Iterator[np.ndarray]:
+        pending = None
+        for frame in frames:
+            out = self(jax.device_put(np.asarray(frame)), fetch=False)
+            if pending is not None:
+                yield np.asarray(pending)
+            pending = out
+        if pending is not None:
+            yield np.asarray(pending)

@@ -54,36 +54,35 @@ def main():
     rng = np.random.default_rng(0)
     batch = jax.device_put(rng.integers(0, 256, (64, 256, 256, 4), np.uint8))
 
-    def batched(scale):
-        f = lambda im: resize_phase_pallas(im, scale, "bicubic",
-                                           interpret=interp)
-        return jax.jit(lambda b: jax.vmap(f)(b))
-
-    fns = {s: batched(s) for s in (2, 3, 4)}
-
     @jax.jit
-    def run_all(b):
-        # 64 images split into 3 buckets: ~22/21/21 per scale
-        outs = []
-        for s, n in ((2, 22), (3, 21), (4, 21)):
-            y = jax.vmap(lambda im: resize_phase_pallas(
-                im, s, "bicubic", interpret=interp))(b[:n])
-            outs.append(jnp.sum(y[:, ::64, ::64].astype(jnp.int32)))
-        return sum(outs)
+    def run_all(b, k):
+        # 64 images split into 3 buckets (batched kernel: batch = grid dim);
+        # chained k times on device to cancel dispatch overhead.
+        def body(i, acc):
+            bi = b ^ i.astype(jnp.uint8)
+            for s, n in ((2, 22), (3, 21), (4, 21)):
+                y = resize_phase_pallas(bi[:n], s, "bicubic", interpret=interp)
+                acc = acc + jnp.sum(y[:, ::64, ::64].astype(jnp.int32))
+            return acc
+        return jax.lax.fori_loop(0, k, body, jnp.int32(0))
 
-    int(np.asarray(run_all(batch)))  # compile
-    ts = []
-    for _ in range(3):
-        t0 = time.perf_counter()
-        int(np.asarray(run_all(batch)))
-        ts.append(time.perf_counter() - t0)
+    int(np.asarray(run_all(batch, 1)))  # compile
+
+    def timed(k):
+        best = np.inf
+        for _ in range(2):
+            t0 = time.perf_counter()
+            int(np.asarray(run_all(batch, k)))
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    per_batch = (timed(20) - timed(2)) / 18
     total_out_pix = 22 * (512 * 512) + 21 * (768 * 768) + 21 * (1024 * 1024)
-    best = min(ts)
     out["configs"]["c3_batch64_mixed"] = {
-        "seconds": best,
+        "seconds": per_batch,
         "out_mpix": total_out_pix / 1e6,
-        "gpix_per_s": total_out_pix / best / 1e9,
-        "note": "64 images, 3 scale buckets, one dispatch",
+        "gpix_per_s": total_out_pix / per_batch / 1e9,
+        "note": "64 images, 3 scale buckets, batched kernel, chained-K timing",
     }
     print("c3_batch64_mixed", out["configs"]["c3_batch64_mixed"])
 

@@ -1,0 +1,62 @@
+"""Serving API + batched-kernel + distributed-helper tests."""
+
+import numpy as np
+import pytest
+
+from bicubic_interpolation_model_tpu.core.oracle import resize_oracle
+from bicubic_interpolation_model_tpu.serving import ModelUpscaler, Upscaler
+
+from conftest import random_image
+from test_ops_resize import assert_u8_parity
+
+
+def test_upscaler_single(rng):
+    up = Upscaler(scale=4)
+    img = random_image(rng, 12, 10)
+    out = up(img)
+    assert out.shape == (48, 40, 4) and out.dtype == np.uint8
+    assert_u8_parity(out, resize_oracle(img, 4.0, "bicubic"))
+
+
+def test_upscaler_batch_matches_singles(rng):
+    up = Upscaler(scale=2)
+    imgs = np.stack([random_image(rng, 16, 16) for _ in range(3)])
+    outs = up.batch(imgs)
+    assert outs.shape == (3, 32, 32, 4)
+    for i in range(3):
+        assert_u8_parity(outs[i], resize_oracle(imgs[i], 2.0, "bicubic"))
+
+
+def test_batched_pallas_phase_kernel(rng):
+    from bicubic_interpolation_model_tpu.ops.pallas_phase import (
+        resize_phase_pallas,
+    )
+    batch = np.stack([random_image(rng, 16, 20) for _ in range(3)])
+    out = np.asarray(resize_phase_pallas(batch, 4, "bicubic",
+                                         step=8, wstep=16))
+    assert out.shape == (3, 64, 80, 4)
+    for i in range(3):
+        assert_u8_parity(out[i], resize_oracle(batch[i], 4.0, "bicubic"))
+
+
+def test_upscaler_stream_order(rng):
+    up = Upscaler(scale=2, method="nearest")
+    frames = [random_image(rng, 8, 8) for _ in range(4)]
+    outs = list(up.stream(frames))
+    assert len(outs) == 4
+    for f, o in zip(frames, outs):
+        np.testing.assert_array_equal(o, resize_oracle(f, 2.0, "nearest"))
+
+
+def test_model_upscaler(reference_root, rng):
+    mu = ModelUpscaler(str(reference_root / "model" / "1e-3-30"))
+    lr = random_image(rng, 10, 8)
+    out = mu(lr)
+    assert out.shape == (40, 32, 4) and out.dtype == np.uint8
+
+
+def test_distributed_single_host():
+    from bicubic_interpolation_model_tpu.parallel import distributed
+    assert distributed.initialize() is False  # no-op single host
+    s = distributed.host_slice(32)
+    assert s == slice(0, 32)
