@@ -88,7 +88,7 @@ def cmd_sr(args):
         from ..models.inference import super_resolve
         model, params = _load_model(args.model_dir)
         fn = lambda: super_resolve(model, params, lr, scale=int(scale))
-    elif method in ("espcn_medium", "espcn_thick"):
+    elif method in ("espcn_medium", "espcn_thick", "esrgan_lite"):
         from ..models.espcn import MODEL_ZOO
         from ..models.inference import super_resolve_direct
         from ..train import checkpoint
@@ -297,7 +297,7 @@ def build_parser():
 
     sp = sub.add_parser("train-sr", help="train an ESPCN-family SR baseline")
     sp.add_argument("--model", default="espcn_medium",
-                    choices=("espcn_medium", "espcn_thick"))
+                    choices=("espcn_medium", "espcn_thick", "esrgan_lite"))
     sp.add_argument("--hr-dir", required=True)
     sp.add_argument("--lr", type=float, default=1e-3)
     sp.add_argument("--epochs", type=int, default=50)

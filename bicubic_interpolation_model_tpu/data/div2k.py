@@ -71,7 +71,7 @@ def generate_sample(hr_rgba: np.ndarray, scale: int = 4,
 def _adaptive_weights(lr_float, h_sr, w_sr, scale, a=-0.5):
     """GT weights modulated by per-tap luma-contrast factors before
     normalization (v4.0 data_generator.js:128-151)."""
-    from ..ops.learned import offset_map, gt_weights_from_offsets
+    from ..ops.learned import offset_map
     off = offset_map(h_sr, w_sr, float(scale), "train")
     dx, dy = off[..., 0], off[..., 1]
 

@@ -59,7 +59,13 @@ class ESPCNResidual(nn.Module):
         return up + base
 
 
+def _esrgan_lite(scale=4):
+    from .esrgan import ESRGANLite
+    return ESRGANLite(scale=scale)
+
+
 MODEL_ZOO = {
     "espcn_medium": lambda scale=4: ESPCN(scale=scale),
     "espcn_thick": lambda scale=4: ESPCNResidual(scale=scale),
+    "esrgan_lite": _esrgan_lite,
 }

@@ -7,8 +7,6 @@ first-class, built on jax.sharding over ICI — no custom transport.
 
 from __future__ import annotations
 
-import math
-
 import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 

@@ -26,10 +26,18 @@ import numpy as np
 
 @dataclasses.dataclass
 class Upscaler:
+    """``bucket``: pad inputs (edge-replicate) up to multiples of this many
+    LR pixels so arbitrary frame sizes share a small set of compiled
+    programs instead of recompiling per shape. Tradeoff: outputs within
+    2 LR pixels of the right/bottom edge see replicated-pad semantics
+    instead of the reference's clamp-position weights (≤ a few LSB in that
+    band); leave ``bucket=None`` for exact parity."""
+
     scale: int = 4
     method: str = "bicubic"
     impl: str = "auto"
     a: float = -0.5
+    bucket: int | None = None
 
     def _fn(self):
         from .ops.resize import resize
@@ -39,8 +47,21 @@ class Upscaler:
             return resize(img, scale, method, impl=impl, a=a)
         return f
 
+    def _bucketed(self, img_u8):
+        b = self.bucket
+        img = np.asarray(img_u8)
+        h, w = img.shape[:2]
+        hb = -(-h // b) * b
+        wb = -(-w // b) * b
+        if (hb, wb) != (h, w):
+            pad = [(0, hb - h), (0, wb - w)] + [(0, 0)] * (img.ndim - 2)
+            img = np.pad(img, pad, mode="edge")
+        out = self._fn()(img)
+        s = int(self.scale)
+        return out[:h * s, :w * s]
+
     def __call__(self, img_u8, fetch: bool = True):
-        out = self._fn()(img_u8)
+        out = self._bucketed(img_u8) if self.bucket else self._fn()(img_u8)
         return np.asarray(out) if fetch else out
 
     def batch(self, imgs_u8, fetch: bool = True):

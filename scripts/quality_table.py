@@ -53,7 +53,7 @@ def main():
         m, template = init_params(_jax.random.key(0))
         p, _ = checkpoint.load(wp_dirs[-1], template)
         own["wp"] = (m, p, wp_dirs[-1].name)
-    for name in ("espcn_medium", "espcn_thick"):
+    for name in ("espcn_medium", "espcn_thick", "esrgan_lite"):
         d = root / "model" / name
         if d.exists():
             from bicubic_interpolation_model_tpu.models.espcn import MODEL_ZOO
@@ -83,7 +83,7 @@ def main():
             m, p, name = own["wp"]
             rebuilds[name] = np.asarray(super_resolve(
                 m, p, lr, scale=SCALE, convention="train"))
-        for key in ("espcn_medium", "espcn_thick"):
+        for key in ("espcn_medium", "espcn_thick", "esrgan_lite"):
             if key in own:
                 m, p, name = own[key]
                 sr3 = np.asarray(super_resolve_direct(m, p, lr[..., :3]))

@@ -53,7 +53,7 @@ def evaluate_direct(model, params, scale=4):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true")
-    ap.add_argument("--only", choices=("wp", "espcn_medium", "espcn_thick"))
+    ap.add_argument("--only", choices=("wp", "espcn_medium", "espcn_thick", "esrgan_lite"))
     args = ap.parse_args()
 
     from bicubic_interpolation_model_tpu.data.onthefly import load_hr_dir
@@ -90,10 +90,10 @@ def main():
     from bicubic_interpolation_model_tpu.models.espcn import MODEL_ZOO
     from bicubic_interpolation_model_tpu.train.direct_trainer import (
         DirectSRConfig, DirectSRTrainer)
-    for name in ("espcn_medium", "espcn_thick"):
+    for name in ("espcn_medium", "espcn_thick", "esrgan_lite"):
         if args.only not in (None, name):
             continue
-        epochs = 3 if args.quick else (60 if name == "espcn_medium" else 90)
+        epochs = 3 if args.quick else {"espcn_medium": 60, "espcn_thick": 90, "esrgan_lite": 80}[name]
         cfg = DirectSRConfig(learning_rate=1e-3, epochs=epochs,
                              steps_per_epoch=60, patch_lr=32, batch_size=16)
         tr = DirectSRTrainer(MODEL_ZOO[name](scale=4), cfg)

@@ -137,3 +137,24 @@ def test_checkpoint_roundtrip(tmp_path):
     assert meta == {"scale": 4}
     for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(restored)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_esrgan_lite_shapes():
+    import numpy as np
+    from bicubic_interpolation_model_tpu.models.esrgan import ESRGANLite
+    m = ESRGANLite(scale=4, features=16, growth=8, n_blocks=1)
+    x = jnp.ones((1, 8, 8, 3)) * 0.5
+    p = m.init(jax.random.key(0), x)
+    y = m.apply(p, x)
+    assert y.shape == (1, 32, 32, 3)
+    # global skip: output of an untrained net stays near the nearest-upsample
+    assert np.abs(np.asarray(y) - 0.5).mean() < 0.5
+
+
+def test_model_zoo_complete():
+    from bicubic_interpolation_model_tpu.models.espcn import MODEL_ZOO
+    assert set(MODEL_ZOO) == {"espcn_medium", "espcn_thick", "esrgan_lite"}
+    for f in MODEL_ZOO.values():
+        m = f(scale=2)
+        p = m.init(jax.random.key(0), jnp.zeros((1, 8, 8, 3)))
+        assert m.apply(p, jnp.zeros((2, 8, 8, 3))).shape == (2, 16, 16, 3)

@@ -60,3 +60,16 @@ def test_distributed_single_host():
     assert distributed.initialize() is False  # no-op single host
     s = distributed.host_slice(32)
     assert s == slice(0, 32)
+
+
+def test_upscaler_bucketed_interior_exact(rng):
+    """Bucketed serving: interior pixels match exact parity; only the 2-LR-px
+    right/bottom band may deviate (documented tradeoff)."""
+    up = Upscaler(scale=4, bucket=16)
+    img = random_image(rng, 13, 11)   # pads to 16x16
+    out = up(img)
+    assert out.shape == (52, 44, 4)
+    want = resize_oracle(img, 4.0, "bicubic").astype(np.int32)
+    b = 2 * 4
+    d = np.abs(out[:-b, :-b].astype(np.int32) - want[:-b, :-b])
+    assert d.max() <= 1
