@@ -19,7 +19,12 @@ def make_mesh(n_devices: int | None = None,
     ``spatial`` defaults to the largest power-of-two ≤ sqrt(n) that divides n
     — e.g. 8 devices → 4x2, 4 → 2x2, 2 → 2x1, 1 → 1x1.
     """
-    devs = jax.devices()[:n_devices] if n_devices else jax.devices()
+    all_devs = jax.devices()
+    if n_devices is not None and len(all_devs) < n_devices:
+        raise ValueError(
+            f"requested a {n_devices}-device mesh but only {len(all_devs)} "
+            f"device(s) are visible (backend {jax.default_backend()!r})")
+    devs = all_devs[:n_devices] if n_devices else all_devs
     n = len(devs)
     if spatial is None:
         spatial = 1
