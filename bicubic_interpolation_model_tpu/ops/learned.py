@@ -121,6 +121,10 @@ def _apply_weights_gather(lr: jnp.ndarray, weights: jnp.ndarray) -> jnp.ndarray:
 
 @jax.jit
 def _apply_round(out):
+    # jnp.round = round-half-to-even, matching the learned path's tf.round
+    # (model_super_resolution.js:121). Note the reference itself rounds
+    # differently here than in its classical kernels (Math.round = half-up);
+    # each of our paths matches its counterpart's semantics.
     return jnp.clip(jnp.round(out), 0, 255).astype(jnp.int32)
 
 
