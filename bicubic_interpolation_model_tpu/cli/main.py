@@ -34,16 +34,8 @@ def _ws(args) -> pathlib.Path:
 
 def _load_model(model_dir: str):
     """Load either a reference TFJS checkpoint dir or a native one."""
-    d = pathlib.Path(model_dir)
-    if (d / "model.json").exists():
-        from ..models.tfjs_import import load_weight_predictor
-        return load_weight_predictor(d)
-    from ..models.weight_predictor import WeightPredictor, init_params
-    from ..train import checkpoint
-    import jax
-    model, template = init_params(jax.random.key(0))
-    params, meta = checkpoint.load(d, template)
-    return model, params
+    from ..evaluation.model_analysis import _load_model_any
+    return _load_model_any(model_dir)
 
 
 def cmd_make_lr(args):
@@ -77,6 +69,10 @@ def cmd_sr(args):
     lr = imageio.load_rgba(lr_path)
     scale = args.scale
     method = args.method
+    if method not in ("nearest", "bilinear", "bicubic", "lanczos") \
+            and float(scale) != int(scale):
+        raise SystemExit(
+            f"method {method!r} requires an integer --scale, got {scale}")
 
     if method in ("nearest", "bilinear", "bicubic", "lanczos"):
         from ..ops.resize import resize
@@ -215,12 +211,16 @@ def cmd_eval(args):
     ws = _ws(args)
     ids = args.image_ids or sorted(
         p.stem for p in (ws / "cp_image" / "hr_images").glob("*.png"))
-    methods = args.methods or [
-        d.name[:-4] for d in
-        sorted((ws / "cp_image" / "rebuild_hr_images").glob("*/*.png"))]
-    if not args.methods:
+    if not ids:
+        raise SystemExit(f"nothing to evaluate: no HR images under "
+                         f"{ws / 'cp_image' / 'hr_images'}")
+    methods = args.methods
+    if not methods:
         first = ws / "cp_image" / "rebuild_hr_images" / ids[0]
         methods = sorted(p.stem for p in first.glob("*.png")) if first.exists() else []
+    if not methods:
+        raise SystemExit("nothing to evaluate: no rebuilt images found "
+                         "(run `sr`/`sr-all` first or pass --methods)")
     results = cmp.run_comparison(ws / "cp_image", ids, methods)
     avgs = cmp.method_averages(results)
     cmp.export_csv(ws / "cp_image" / "metrics_report.csv", results, avgs)
@@ -249,13 +249,13 @@ def build_parser():
     sub = p.add_subparsers(dest="cmd", required=True)
 
     sp = sub.add_parser("make-lr", help="downsample HR → LR png")
-    sp.add_argument("--image-id", required=True)
+    sp.add_argument("--image-id")
     sp.add_argument("--scale", type=int, default=4)
     sp.add_argument("--down-method", default="lanczos3")
     sp.set_defaults(func=cmd_make_lr)
 
     sp = sub.add_parser("sr", help="single-method super-resolution")
-    sp.add_argument("--image-id", default="0020")
+    sp.add_argument("--image-id")
     sp.add_argument("--input", help="explicit LR input path")
     sp.add_argument("--output", help="explicit output path")
     sp.add_argument("--method", required=True)
@@ -268,7 +268,7 @@ def build_parser():
     sp.set_defaults(func=cmd_sr)
 
     sp = sub.add_parser("sr-all", help="run all methods (sr.sh)")
-    sp.add_argument("--image-id", default="0020")
+    sp.add_argument("--image-id")
     sp.add_argument("--scale", type=float, default=4)
     sp.add_argument("--impl", default="auto")
     sp.add_argument("--a", type=float, default=-0.5)
@@ -337,12 +337,11 @@ def build_parser():
 
 def main(argv=None):
     args = build_parser().parse_args(argv)
-    # workspace config supplies image-id/scale defaults (the reference's
-    # config.js HRID knob); explicit flags always win.
-    from ..utils.config import WorkspaceConfig
-    cfg = WorkspaceConfig.load(args.workspace)
-    if getattr(args, "image_id", None) == "0020" and cfg.hrid != "0020":
-        args.image_id = cfg.hrid
+    # workspace config supplies the image-id default (the reference's
+    # config.js HRID knob); an explicit --image-id always wins.
+    if hasattr(args, "image_id") and args.image_id is None:
+        from ..utils.config import WorkspaceConfig
+        args.image_id = WorkspaceConfig.load(args.workspace).hrid
     return args.func(args)
 
 

@@ -58,17 +58,21 @@ def read_tensor(path) -> np.ndarray:
 
 def update_metadata(metadata_path, sample_id: str, h_lr: int, w_lr: int,
                     h_sr: int, w_sr: int,
-                    channels: dict | None = None) -> None:
+                    channels: dict | None = None,
+                    variant: str | None = None) -> None:
     """Atomic read-modify-write of metadata.json (tmp file + rename)."""
     metadata_path = pathlib.Path(metadata_path)
     metadata = {}
     if metadata_path.exists():
         metadata = json.loads(metadata_path.read_text())
-    metadata[sample_id] = {
+    entry = {
         "H_lr": int(h_lr), "W_lr": int(w_lr),
         "H_sr": int(h_sr), "W_sr": int(w_sr),
         "channels": channels or {"X": 4, "offset": 2, "Y": 16},
     }
+    if variant:
+        entry["variant"] = variant
+    metadata[sample_id] = entry
     metadata_path.parent.mkdir(parents=True, exist_ok=True)
     tmp = metadata_path.with_suffix(metadata_path.suffix + ".tmp")
     tmp.write_text(json.dumps(metadata, indent=2))

@@ -115,7 +115,8 @@ def process_images(hr_dir, out_root, *, scale: int = 4, split: str = "train",
             sid = p.stem
             h_lr, w_lr = x.shape[:2]
             h_sr, w_sr = offsets.shape[:2]
-            binfmt.update_metadata(meta_path, sid, h_lr, w_lr, h_sr, w_sr)
+            binfmt.update_metadata(meta_path, sid, h_lr, w_lr, h_sr, w_sr,
+                                   variant="adaptive" if adaptive else None)
             binfmt.write_tensor(dirs["X"] / f"{sid}.bin", x)
             binfmt.write_tensor(dirs["offset"] / f"{sid}.bin", offsets)
             binfmt.write_tensor(dirs["Y"] / f"{sid}.bin", weights)

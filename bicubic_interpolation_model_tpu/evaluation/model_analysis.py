@@ -26,7 +26,11 @@ def _load_model_any(model_dir):
     import jax
     from ..models.weight_predictor import init_params
     from ..train import checkpoint
-    model, template = init_params(jax.random.key(0))
+    scale = 4
+    meta_path = d / "meta.json"
+    if meta_path.exists():
+        scale = int(json.loads(meta_path.read_text()).get("scale", 4))
+    model, template = init_params(jax.random.key(0), scale=scale)
     params, _ = checkpoint.load(d, template)
     return model, params
 

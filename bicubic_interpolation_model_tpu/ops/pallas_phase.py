@@ -80,15 +80,18 @@ def _phase_kernel(wrow_ref, wcol_ref, aa_ref, ab_ref, ba_ref, bb_ref,
 
 
 @functools.partial(jax.jit, static_argnames=("scale", "method", "a", "step",
-                                             "wstep", "interpret"))
+                                             "wstep", "interpret", "lanczos_a"))
 def _resize_phase_pallas(img_bhwc, scale: int, method: str, a: float,
-                         step: int, wstep: int, interpret: bool):
+                         step: int, wstep: int, interpret: bool,
+                         lanczos_a: int = 3):
     b, h, w, c = img_bhwc.shape
     s = int(scale)
-    kw = {"a": a} if method == "bicubic" else {}
+    kw = ({"a": a} if method == "bicubic"
+          else {"a": lanczos_a} if method == "lanczos" else {})
     plan_y = planlib.plan_axis(method, h, float(scale), **kw)
     plan_x = planlib.plan_axis(method, w, float(scale), **kw)
-    left = _LEFT_EXTENT[method]
+    # lanczos left extent depends on its window parameter (floor(ox)-a+1)
+    left = lanczos_a - 1 if method == "lanczos" else _LEFT_EXTENT[method]
 
     # window slots t = idx - (base - left): folds clamping and phase-varying
     # tap offsets into the weights; input then needs only zero padding.
@@ -177,7 +180,8 @@ def _resize_phase_pallas(img_bhwc, scale: int, method: str, a: float,
 
 
 def resize_phase_pallas(img, scale, method: str = "bicubic", *,
-                        a: float = -0.5, step: int = 16, wstep: int = 512,
+                        a: float = -0.5, lanczos_a: int = 3,
+                        step: int = 16, wstep: int = 512,
                         interpret: bool | None = None):
     """Fused phase-FMA resize. HW / HWC / BHWC uint8 or float input, integer
     scale. A batch becomes a leading grid dimension — one kernel launch for
@@ -197,7 +201,8 @@ def resize_phase_pallas(img, scale, method: str = "bicubic", *,
     step_eff = min(step, _round_up(h, 8))
     wstep_eff = min(wstep, _round_up(w, 128 // max(1, img.shape[3])))
     out = _resize_phase_pallas(img, int(scale), method, float(a),
-                               step_eff, wstep_eff, bool(interpret))
+                               step_eff, wstep_eff, bool(interpret),
+                               lanczos_a=int(lanczos_a))
     if squeeze_b:
         out = out[0]
     return out[..., 0] if squeeze_hw else out

@@ -105,16 +105,18 @@ def _resize_kernel(mrow_ref, mcolt_ref, img_hbm, out_ref, win, sem,
 
 
 @functools.partial(jax.jit, static_argnames=("scale", "method", "a",
-                                             "tile_h", "tile_w", "interpret"))
+                                             "tile_h", "tile_w", "interpret",
+                                             "lanczos_a"))
 def _resize_pallas_chw(img_chw, scale: int, method: str, a: float,
-                       tile_h: int, tile_w: int, interpret: bool):
+                       tile_h: int, tile_w: int, interpret: bool,
+                       lanczos_a: int = 3):
     c, h, w = img_chw.shape
-    plan_y = planlib.plan_axis(method, h, float(scale),
-                               **({"a": a} if method == "bicubic" else {}))
-    plan_x = planlib.plan_axis(method, w, float(scale),
-                               **({"a": a} if method == "bicubic" else {}))
+    pkw = ({"a": a} if method == "bicubic"
+           else {"a": lanczos_a} if method == "lanczos" else {})
+    plan_y = planlib.plan_axis(method, h, float(scale), **pkw)
+    plan_x = planlib.plan_axis(method, w, float(scale), **pkw)
     ho, wo = plan_y.n_out, plan_x.n_out
-    left = _LEFT_EXTENT[method]
+    left = lanczos_a - 1 if method == "lanczos" else _LEFT_EXTENT[method]
     taps = plan_y.taps
     # Tiles must be scale-multiples (integer window step) and lane/sublane
     # aligned; shrink toward the image for small inputs.
@@ -178,7 +180,7 @@ def _resize_pallas_chw(img_chw, scale: int, method: str, a: float,
 
 
 def resize_pallas(img, scale, method: str = "bicubic", *, a: float = -0.5,
-                  tile_h: int = 512, tile_w: int = 512,
+                  lanczos_a: int = 3, tile_h: int = 512, tile_w: int = 512,
                   interpret: bool | None = None):
     """Fused-TPU-kernel resize. HW/HWC uint8 or float input, integer scale."""
     if not (float(scale) == int(scale) and scale >= 1):
@@ -193,6 +195,7 @@ def resize_pallas(img, scale, method: str = "bicubic", *, a: float = -0.5,
         img = img[..., None]
     chw = jnp.transpose(img, (2, 0, 1))
     out = _resize_pallas_chw(chw, int(scale), method, float(a),
-                             tile_h, tile_w, bool(interpret))
+                             tile_h, tile_w, bool(interpret),
+                             lanczos_a=int(lanczos_a))
     out = jnp.transpose(out, (1, 2, 0))
     return out[..., 0] if squeeze else out

@@ -183,10 +183,12 @@ def resize(img, scale: float, method: Method = "bicubic", *,
         impl = "pallas_phase"  # fused phase-FMA kernel: fastest on real TPUs
     if impl == "pallas":
         from .pallas_resize import resize_pallas
-        return resize_pallas(img, scale, method=method, a=a)
+        return resize_pallas(img, scale, method=method, a=a,
+                             lanczos_a=lanczos_a)
     if impl == "pallas_phase":
         from .pallas_phase import resize_phase_pallas
-        return resize_phase_pallas(img, scale, method=method, a=a)
+        return resize_phase_pallas(img, scale, method=method, a=a,
+                                   lanczos_a=lanczos_a)
     return _resize_jit(jnp.asarray(img), float(scale), method, impl, float(a), int(lanczos_a))
 
 

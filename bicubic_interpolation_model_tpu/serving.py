@@ -81,11 +81,13 @@ class Upscaler:
 
     def stream(self, frames: Iterable[np.ndarray]) -> Iterator[np.ndarray]:
         """Software-pipelined stream: dispatch frame i, then fetch frame i-1
-        — keeps the device busy while results cross the host link."""
-        fn = self._fn()
+        — keeps the device busy while results cross the host link. Honors
+        ``bucket`` so variable-size streams reuse compiled programs."""
+        fn = self._bucketed if self.bucket else \
+            (lambda f: self._fn()(jax.device_put(np.asarray(f))))
         pending = None
         for frame in frames:
-            out = fn(jax.device_put(np.asarray(frame)))
+            out = fn(frame)
             if pending is not None:
                 yield np.asarray(pending)
             pending = out

@@ -46,14 +46,17 @@ def train_pixel_mlp(model, features: np.ndarray, targets: np.ndarray,
 
     rng = np.random.default_rng(cfg.seed)
     n = features.shape[0]
+    if n == 0:
+        raise ValueError("empty feature set")
+    batch = min(cfg.batch_size, n)
     best = np.inf
     stale = 0
     history = []
     for epoch in range(cfg.epochs):
         order = rng.permutation(n)
         losses = []
-        for i in range(0, n - cfg.batch_size + 1, cfg.batch_size):
-            idx = order[i:i + cfg.batch_size]
+        for i in range(0, n - batch + 1, batch):
+            idx = order[i:i + batch]
             params, opt_state, loss = step(params, opt_state,
                                            features[idx], targets[idx])
             losses.append(float(loss))

@@ -115,14 +115,9 @@ class WeightPredictorTrainer:
                and v["X"].shape[1] >= p]
         if not ids:
             raise ValueError(f"no sample is >= {p}x{p} LR pixels")
-        # offset/Y maps are SxS-periodic tiles for the training convention —
-        # synthesize them for samples that carry only X (data.onthefly).
-        synth = any("Y" not in data[i] for i in ids)
-        if synth:
-            from ..data.onthefly import target_tiles
-            off_tile, y_tile = target_tiles(p, s)
-        n_batches = max(1, len(ids))
-        for _ in range(n_batches):
+        # stored-target datasets only; Y-less datasets route through
+        # _synth_patch_batches (see fit()).
+        for _ in range(max(1, len(ids))):
             imgs, offs, ys = [], [], []
             for _ in range(cfg.batch_size):
                 d = data[ids[rng.integers(len(ids))]]
@@ -130,13 +125,9 @@ class WeightPredictorTrainer:
                 y0 = int(rng.integers(h - p + 1))
                 x0 = int(rng.integers(w - p + 1))
                 imgs.append(d["X"][y0:y0 + p, x0:x0 + p])
-                if "Y" in d:
-                    offs.append(d["offset"][y0 * s:(y0 + p) * s,
-                                            x0 * s:(x0 + p) * s])
-                    ys.append(d["Y"][y0 * s:(y0 + p) * s, x0 * s:(x0 + p) * s])
-                else:
-                    offs.append(off_tile)
-                    ys.append(y_tile)
+                offs.append(d["offset"][y0 * s:(y0 + p) * s,
+                                        x0 * s:(x0 + p) * s])
+                ys.append(d["Y"][y0 * s:(y0 + p) * s, x0 * s:(x0 + p) * s])
             mask = np.ones((cfg.batch_size, p * s, p * s, 1), np.float32)
             yield (np.stack(imgs), np.stack(offs), np.stack(ys), mask)
 

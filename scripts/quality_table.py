@@ -24,8 +24,12 @@ SCALE = 4
 
 def main():
     import jax
-    if "cpu" not in jax.default_backend():
+    try:
+        # must run before backend init (jax.default_backend would initialize)
         jax.config.update("jax_platforms", "cpu")
+        jax.config.update("jax_platform_name", "cpu")
+    except Exception:
+        pass
 
     from bicubic_interpolation_model_tpu.data.div2k import align_crop
     from bicubic_interpolation_model_tpu.evaluation import compare as cmp
