@@ -38,3 +38,15 @@ def test_phase_pallas_float(rng):
     assert out.dtype == np.float32
     want = resize_oracle(img.astype(np.uint8), 2.0, "bicubic")
     assert_u8_parity(np.clip(np.floor(out + 0.5), 0, 255), want)
+
+
+def test_phase_pallas_lanczos_window_param(rng):
+    """lanczos_a must thread through to the plan (window extent changes)."""
+    from bicubic_interpolation_model_tpu.core.oracle import resize_oracle
+    img = random_image(rng, 20, 16)
+    got = resize_phase_pallas(img, 4, "lanczos", lanczos_a=2, step=8)
+    want = resize_oracle(img, 4.0, "lanczos", a=2)
+    assert_u8_parity(got, want)
+    # and a=3 (default) differs from a=2 somewhere
+    got3 = np.asarray(resize_phase_pallas(img, 4, "lanczos", step=8))
+    assert (np.asarray(got) != got3).any()
