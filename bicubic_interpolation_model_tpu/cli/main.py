@@ -152,7 +152,11 @@ def cmd_train(args):
                       mode=args.mode, batch_size=args.batch_size,
                       patch_lr=args.patch_lr, scale=args.scale)
     trainer = WeightPredictorTrainer(WeightPredictor(scale=args.scale), cfg)
-    params = trainer.fit(data)
+    init = None
+    if args.resume:
+        init, _ = checkpoint.load(args.resume, trainer.init_params())
+        print(f"resuming from {args.resume}")
+    params = trainer.fit(data, params=init)
     out = ws / "model" / args.name
     checkpoint.save(out, params, meta={
         "model": "WeightPredictor", "scale": args.scale,
@@ -293,6 +297,7 @@ def build_parser():
     sp.add_argument("--batch-size", type=int, default=8)
     sp.add_argument("--patch-lr", type=int, default=64)
     sp.add_argument("--scale", type=int, default=4)
+    sp.add_argument("--resume", help="checkpoint dir to resume from")
     sp.set_defaults(func=cmd_train)
 
     sp = sub.add_parser("train-sr", help="train an ESPCN-family SR baseline")
