@@ -34,14 +34,33 @@ class TrainConfig:
     scale: int = 4
     seed: int = 0
     log_every: int = 10
+    adaptive_targets: bool = False  # v4.0-style luma-modulated GT weights
 
 
-def make_weight_predictor_step(model, optimizer):
-    """Step for (img, off, y_true) → weight-map MSE (+ MAE metric)."""
+def make_weight_predictor_step(model, optimizer, *, adaptive: bool = False,
+                               scale: int = 4):
+    """Step for (img, off, y_true) → weight-map MSE (+ MAE metric).
+
+    With ``adaptive`` the GT target is modulated *on device inside the step*
+    by the per-tap luma-contrast factors of v4.0 (ops.adaptive
+    .adaptive_gt_factors) — the image-dependent analog of the reference's
+    version4.0 data generator, with no precomputed Y tensors at all. The
+    standard (normalized) base tile works as ``y``: per-pixel normalization
+    is scale-invariant, so normalize(normalize(g)*f) == normalize(g*f),
+    matching v4's base-then-renormalize exactly."""
+
+    def targets(img, y):
+        if not adaptive:
+            return y
+        from ..ops.adaptive import adaptive_gt_factors
+        factors = jax.vmap(lambda im: adaptive_gt_factors(im, scale))(img)
+        w = y * factors
+        s = w.sum(axis=-1, keepdims=True)
+        return jnp.where(s > 0, w / s, 0.0)
 
     def loss_fn(params, img, off, y, mask):
         pred = model.apply(params, img, off)
-        err = (pred - y) * mask
+        err = (pred - targets(img, y)) * mask
         denom = jnp.maximum(mask.sum() * y.shape[-1], 1.0)
         mse = jnp.sum(err * err) / denom
         mae = jnp.sum(jnp.abs(err)) / denom
@@ -95,7 +114,9 @@ class WeightPredictorTrainer:
         self.model = model
         self.cfg = config or TrainConfig()
         self.optimizer = optax.adam(self.cfg.learning_rate)
-        self.step_fn = make_weight_predictor_step(self.model, self.optimizer)
+        self.step_fn = make_weight_predictor_step(
+            self.model, self.optimizer,
+            adaptive=self.cfg.adaptive_targets, scale=self.cfg.scale)
         self.history: list[dict] = []
 
     def init_params(self, rng_key=None):

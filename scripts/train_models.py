@@ -53,7 +53,7 @@ def evaluate_direct(model, params, scale=4):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true")
-    ap.add_argument("--only", choices=("wp", "espcn_medium", "espcn_thick", "esrgan_lite"))
+    ap.add_argument("--only", choices=("wp", "wp_adaptive", "espcn_medium", "espcn_thick", "esrgan_lite"))
     args = ap.parse_args()
 
     from bicubic_interpolation_model_tpu.data.onthefly import load_hr_dir
@@ -69,20 +69,25 @@ def main():
 
     root = pathlib.Path(__file__).resolve().parents[1] / "model"
 
-    if args.only in (None, "wp"):
+    for wp_variant in ("wp", "wp_adaptive"):
+        if args.only not in (None, wp_variant):
+            continue
         from bicubic_interpolation_model_tpu.models.weight_predictor import (
             WeightPredictor)
         from bicubic_interpolation_model_tpu.train.trainer import (
             TrainConfig, WeightPredictorTrainer)
+        adaptive = wp_variant == "wp_adaptive"
         epochs = 5 if args.quick else 120
         cfg = TrainConfig(learning_rate=1e-3, epochs=epochs, mode="patch",
-                          patch_lr=48, batch_size=16, log_every=10**9)
+                          patch_lr=48, batch_size=16, log_every=10**9,
+                          adaptive_targets=adaptive)
         tr = WeightPredictorTrainer(WeightPredictor(scale=4), cfg)
         params = tr.fit(data, log=print)
         m = evaluate_wp(tr.model, params)
-        print(f"wp eval on {EVAL_ID}: PSNR={m.psnr:.2f} SSIM={m.ssim:.4f}")
-        checkpoint.save(root / f"wp-1e-3-{epochs}", params, meta={
-            "model": "WeightPredictor", "scale": 4,
+        print(f"{wp_variant} eval on {EVAL_ID}: PSNR={m.psnr:.2f} SSIM={m.ssim:.4f}")
+        name = f"wp-adaptive-1e-3-{epochs}" if adaptive else f"wp-1e-3-{epochs}"
+        checkpoint.save(root / name, params, meta={
+            "model": "WeightPredictor", "scale": 4, "adaptive": adaptive,
             "train_images": len(data), "epochs": epochs,
             "eval": {"image": EVAL_ID, "psnr": m.psnr, "ssim": m.ssim},
             "history": tr.history[-5:]})

@@ -158,3 +158,20 @@ def test_model_zoo_complete():
         m = f(scale=2)
         p = m.init(jax.random.key(0), jnp.zeros((1, 8, 8, 3)))
         assert m.apply(p, jnp.zeros((2, 8, 8, 3))).shape == (2, 16, 16, 3)
+
+
+def test_adaptive_targets_training_smoke(rng):
+    """v4.0-style adaptive GT weights computed on-device inside the step."""
+    from bicubic_interpolation_model_tpu.train.trainer import (
+        TrainConfig,
+        WeightPredictorTrainer,
+    )
+    data = {"0": {"X": random_image(rng, 16, 16).astype(np.float32) / 255.0}}
+    tr = WeightPredictorTrainer(
+        WeightPredictor(scale=4),
+        TrainConfig(mode="patch", patch_lr=8, batch_size=2, epochs=6,
+                    learning_rate=3e-3, adaptive_targets=True,
+                    log_every=10**9))
+    tr.fit(data, log=lambda *_: None)
+    losses = [h["loss"] for h in tr.history]
+    assert np.isfinite(losses).all() and losses[-1] < losses[0]
