@@ -60,3 +60,28 @@ def test_graft_entry_dryrun_multichip():
     sys.path.insert(0, "/root/repo")
     import __graft_entry__ as ge
     ge.dryrun_multichip(8)
+
+
+def test_batch_sharded_resize_matches_oracle(rng):
+    """Data-parallel batch resize over 4 devices: per-image parity."""
+    from bicubic_interpolation_model_tpu.parallel.batch import (
+        resize_batch_sharded,
+    )
+    mesh = make_mesh(4, spatial=1, axis_names=("data", "spatial"))
+    imgs = np.stack([random_image(rng, 16, 12) for _ in range(8)])
+    out = np.asarray(resize_batch_sharded(imgs, 4, mesh=mesh))
+    assert out.shape == (8, 64, 48, 4)
+    for i in range(8):
+        want = resize_oracle(imgs[i], 4.0, "bicubic").astype(np.int32)
+        d = np.abs(out[i].astype(np.int32) - want)
+        assert d.max() <= 1
+
+
+def test_batch_sharded_rejects_uneven(rng):
+    from bicubic_interpolation_model_tpu.parallel.batch import (
+        resize_batch_sharded,
+    )
+    mesh = make_mesh(4, spatial=1)
+    imgs = np.stack([random_image(rng, 8, 8) for _ in range(3)])
+    with pytest.raises(ValueError):
+        resize_batch_sharded(imgs, 4, mesh=mesh)
