@@ -61,7 +61,8 @@ class ESPCNResidual(nn.Module):
 
 def _esrgan_lite(scale=4):
     from .esrgan import ESRGANLite
-    return ESRGANLite(scale=scale)
+    # dims of the shipping model/esrgan_lite checkpoint
+    return ESRGANLite(scale=scale, features=64, growth=32, n_blocks=6)
 
 
 MODEL_ZOO = {

@@ -49,14 +49,14 @@ def main():
     # learned models
     ref_model, ref_params = load_weight_predictor(REF / "model" / "1e-3-30")
     own = {}
-    wp_dirs = sorted((root / "model").glob("wp-*"))
-    if wp_dirs:
+    wp_list = []
+    for wp_dir in sorted((root / "model").glob("wp-*")):
         from bicubic_interpolation_model_tpu.models.weight_predictor import (
             init_params)
         import jax as _jax
         m, template = init_params(_jax.random.key(0))
-        p, _ = checkpoint.load(wp_dirs[-1], template)
-        own["wp"] = (m, p, wp_dirs[-1].name)
+        p, _ = checkpoint.load(wp_dir, template)
+        wp_list.append((m, p, wp_dir.name))
     for name in ("espcn_medium", "espcn_thick", "esrgan_lite"):
         d = root / "model" / name
         if d.exists():
@@ -83,8 +83,7 @@ def main():
             "ref_1e-3-30": np.asarray(super_resolve(
                 ref_model, ref_params, lr, scale=SCALE, convention="train")),
         }
-        if "wp" in own:
-            m, p, name = own["wp"]
+        for (m, p, name) in wp_list:
             rebuilds[name] = np.asarray(super_resolve(
                 m, p, lr, scale=SCALE, convention="train"))
         for key in ("espcn_medium", "espcn_thick", "esrgan_lite"):

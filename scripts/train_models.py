@@ -98,10 +98,14 @@ def main():
     for name in ("espcn_medium", "espcn_thick", "esrgan_lite"):
         if args.only not in (None, name):
             continue
-        epochs = 3 if args.quick else {"espcn_medium": 60, "espcn_thick": 90, "esrgan_lite": 80}[name]
+        epochs = 3 if args.quick else {"espcn_medium": 60, "espcn_thick": 90, "esrgan_lite": 140}[name]
         cfg = DirectSRConfig(learning_rate=1e-3, epochs=epochs,
                              steps_per_epoch=60, patch_lr=32, batch_size=16)
-        tr = DirectSRTrainer(MODEL_ZOO[name](scale=4), cfg)
+        model = (MODEL_ZOO[name](scale=4) if name != "esrgan_lite" else
+                 __import__("bicubic_interpolation_model_tpu.models.esrgan",
+                            fromlist=["ESRGANLite"]).ESRGANLite(
+                     scale=4, features=64, growth=32, n_blocks=6))
+        tr = DirectSRTrainer(model, cfg)
         params = tr.fit(data, log=print)
         m = evaluate_direct(tr.model, params)
         print(f"{name} eval on {EVAL_ID}: PSNR={m.psnr:.2f} SSIM={m.ssim:.4f}")
