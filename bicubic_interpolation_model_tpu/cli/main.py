@@ -117,13 +117,25 @@ def cmd_sr(args):
 
 
 def cmd_sr_all(args):
-    """sr.sh: run every available method for the image id."""
-    methods = list(METHODS_CLASSICAL)
-    if args.model_dir:
-        methods.append("model")
-    for m in methods:
+    """sr.sh: run every available method for the image id — the classical
+    five, the weight-predictor (--model-dir or newest workspace wp-*), and
+    any neural baselines with checkpoints under <workspace>/model/."""
+    ws = _ws(args)
+    runs: list[tuple[str, str | None]] = [(m, None) for m in METHODS_CLASSICAL]
+    model_dir = args.model_dir
+    if not model_dir:
+        wps = sorted((ws / "model").glob("wp-*")) if (ws / "model").exists() else []
+        model_dir = str(wps[-1]) if wps else None
+    if model_dir:
+        runs.append(("model", model_dir))
+    for name in ("espcn_medium", "espcn_thick", "esrgan_lite"):
+        d = ws / "model" / name
+        if (d / "params.msgpack").exists():
+            runs.append((name, str(d)))
+    for m, mdir in runs:
         sub = argparse.Namespace(**vars(args))
         sub.method = m
+        sub.model_dir = mdir
         sub.test_item = None
         sub.input = None
         sub.output = None

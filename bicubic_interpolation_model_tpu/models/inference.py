@@ -44,8 +44,17 @@ def super_resolve(model, params, lr_u8, scale: int = 4,
     return jnp.asarray(sr, dtype=jnp.uint8)
 
 
+@functools.partial(jax.jit, static_argnames=("model",))
+def _apply_direct(model, params, x):
+    return model.apply(params, x)
+
+
 def super_resolve_direct(model, params, lr_u8):
-    """Direct-regression SR models (ESPCN family): float [0,1] in/out."""
+    """Direct-regression SR models (ESPCN family): float [0,1] in/out.
+
+    The model is a static jit argument (flax Modules hash by config), so the
+    compiled program is reused across calls — `jax.jit(model.apply)` would
+    re-trace every time because bound methods are fresh objects per access."""
     x = jnp.asarray(lr_u8).astype(jnp.float32) / 255.0
-    y = jax.jit(model.apply)(params, x[None])[0]
+    y = _apply_direct(model, params, x[None])[0]
     return jnp.clip(jnp.floor(y * 255.0 + 0.5), 0, 255).astype(jnp.uint8)
