@@ -246,8 +246,14 @@ def cmd_eval(args):
 
 
 def cmd_bench(args):
+    import jax
     from ..bench.suite import headline, REFERENCE_BICUBIC_GPIX_S
-    best, results = headline(impls=tuple(args.impls.split(",")), runs=args.runs)
+    if args.impls:
+        impls = tuple(args.impls.split(","))
+    else:  # backend-appropriate defaults (pallas interpret on CPU is too slow)
+        impls = (("pallas_phase", "pallas")
+                 if jax.default_backend() == "tpu" else ("matmul",))
+    best, results = headline(impls=impls, runs=args.runs)
     for r in results:
         print(r)
     if best:
@@ -346,7 +352,7 @@ def build_parser():
     sp.set_defaults(func=cmd_eval)
 
     sp = sub.add_parser("bench", help="performance benchmarks")
-    sp.add_argument("--impls", default="phase,matmul,pallas")
+    sp.add_argument("--impls", help="comma list; default auto per backend")
     sp.add_argument("--runs", type=int, default=5)
     sp.set_defaults(func=cmd_bench)
     return p
