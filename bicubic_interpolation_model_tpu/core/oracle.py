@@ -126,7 +126,16 @@ def adaptive_bicubic_oracle(img_u8: np.ndarray, scale: float, a: float = -0.5) -
     cx = np.clip(np.floor(ox + 0.5).astype(np.int64), 0, w - 1)
 
     def cubic_memo(t):
-        # JS memoizes on Math.abs(t).toFixed(2) => evaluate at 2-decimal rounding.
+        # JS memoizes on Math.abs(t).toFixed(2) => evaluate at 2-decimal
+        # rounding. Approximation note: toFixed rounds the *binary* double
+        # (e.g. (1.005).toFixed(2) === '1.00' because 1.005 is stored as
+        # 1.00499…), whereas floor(|t|*100+0.5)/100 rounds the decimal value;
+        # they differ only when |t|*100 lands exactly on a .5 quantization
+        # boundary whose double representation falls below it. For this
+        # kernel |t| is phase/scale plus an integer, so small integer scales
+        # never hit such boundaries; the worst case elsewhere is a 1e-2
+        # weight perturbation on one tap ≈ ≤1 u8 LSB — inside the parity
+        # tolerance used everywhere.
         t = np.abs(t)
         t = np.floor(t * 100.0 + 0.5) / 100.0
         return cubic_keys(t, a=a)

@@ -31,16 +31,22 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
-from .learned import cubic_keys_jnp
+from ..core.kernels import cubic_keys
 from .resize import round_u8
 
 
-def _cubic_memo(t, a: float = -0.5):
-    """Keys cubic evaluated at |t| rounded to 2 decimals (JS toFixed memo)."""
-    t = jnp.abs(t)
-    t = jnp.floor(t * 100.0 + 0.5) / 100.0
-    return cubic_keys_jnp(t, a)
+def _cubic_memo_np(t, a: float = -0.5):
+    """Keys cubic at |t| rounded to 2 decimals (JS toFixed(2) memo), float64.
+
+    Decimal-vs-binary rounding caveat documented in
+    core/oracle.py::adaptive_bicubic_oracle.cubic_memo — same approximation,
+    same (sub-LSB) worst case.
+    """
+    t = np.abs(np.asarray(t, np.float64))
+    t = np.floor(t * 100.0 + 0.5) / 100.0
+    return cubic_keys(t, a=a)
 
 
 def luma_bt709(img_f32_rgb_first3):
@@ -86,13 +92,15 @@ def _adaptive_resize_u8(img, scale: int, a: float):
     cen_flat = [[fp[oy:oy + h, ox:ox + w] for ox in range(2)] for oy in range(2)]
     cen_edge = [[ep[oy:oy + h, ox:ox + w] for ox in range(2)] for oy in range(2)]
 
-    # per-axis clamped tap positions & weights (exact JS border semantics)
+    # per-axis clamped tap positions & weights (exact JS border semantics).
+    # Host-side NumPy float64 at trace time — matches the oracle's JS-double
+    # math exactly instead of re-deriving the weights in device float32.
     def axis_geometry(n_in, phase_over_scale, tap):
-        base = jnp.arange(n_in, dtype=jnp.float32)       # LR cell index
+        base = np.arange(n_in, dtype=np.float64)         # LR cell index
         ox = base + phase_over_scale
-        pos = jnp.clip(base + tap - 1, 0, n_in - 1)
-        wgt = _cubic_memo(ox - pos, a)
-        return pos, wgt
+        pos = np.clip(base + tap - 1, 0, n_in - 1)
+        wgt = _cubic_memo_np(ox - pos, a).astype(np.float32)
+        return pos.astype(np.int64), wgt
 
     def center_offset(phase_over_scale):
         # JS Math.round half-up of p/s in [0,1): 1 if p/s >= 0.5 else 0
@@ -109,18 +117,20 @@ def _adaptive_resize_u8(img, scale: int, a: float):
             cl = cen_lum[cy_off][cx_off]
             flat_r = cen_flat[cy_off][cx_off]
             edge_r = cen_edge[cy_off][cx_off]
-            cy_pos = jnp.clip(jnp.arange(h) + cy_off, 0, h - 1)
-            cx_pos = jnp.clip(jnp.arange(w) + cx_off, 0, w - 1)
+            cy_pos = np.clip(np.arange(h) + cy_off, 0, h - 1)
+            cx_pos = np.clip(np.arange(w) + cx_off, 0, w - 1)
 
             acc = jnp.zeros((h, w, c), jnp.float32)
             wsum = jnp.zeros((h, w), jnp.float32)
             for n in range(4):
                 py_pos, wy = axis_geometry(h, fy, n)
-                eq_y = (py_pos == cy_pos)[:, None]
+                # vectors stay host constants; outer products happen on device
+                eq_y = jnp.asarray(py_pos == cy_pos)[:, None]
+                wy_d = jnp.asarray(wy)[:, None]
                 for m in range(4):
                     px_pos, wx = axis_geometry(w, fx, m)
-                    eq_x = (px_pos == cx_pos)[None, :]
-                    base_w = wy[:, None] * wx[None, :]
+                    eq_x = jnp.asarray(px_pos == cx_pos)[None, :]
+                    base_w = wy_d * jnp.asarray(wx)[None, :]
                     ld = jnp.abs(cl - tap_lum[n][m])
                     edge_w = base_w * (1.0 + 0.5 * jnp.minimum(1.0, ld / 50.0))
                     flat_w = base_w * jnp.maximum(0.5, 1.0 - ld / 30.0)

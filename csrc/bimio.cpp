@@ -14,8 +14,15 @@
 #include <cstdio>
 #include <cstdlib>
 #include <cstring>
+#include <new>
 #include <vector>
 #include <zlib.h>
+
+// Dimension sanity bounds: reject anything a real image would never hit
+// before any size arithmetic, so (stride+1)*h / w*h*4 cannot wrap size_t
+// and crafted headers cannot trigger undersized allocations.
+static const uint32_t kMaxDim = 1u << 20;          // 1M px per axis
+static const uint64_t kMaxPixels = 1ull << 28;     // 256 MPix budget
 
 extern "C" {
 
@@ -39,8 +46,8 @@ static int paeth(int a, int b, int c) {
 }
 
 // returns 0 on success; *out is malloc'd RGBA8 (w*h*4)
-int bim_decode_png(const uint8_t* buf, size_t len, uint8_t** out,
-                   uint32_t* out_w, uint32_t* out_h) {
+static int decode_png_impl(const uint8_t* buf, size_t len, uint8_t** out,
+                           uint32_t* out_w, uint32_t* out_h) {
   static const uint8_t sig[8] = {137, 80, 78, 71, 13, 10, 26, 10};
   if (len < 8 || memcmp(buf, sig, 8) != 0) return -1;
 
@@ -75,6 +82,7 @@ int bim_decode_png(const uint8_t* buf, size_t len, uint8_t** out,
     pos += 12 + clen;
   }
   if (!w || !h || idat.empty()) return -4;
+  if (w > kMaxDim || h > kMaxDim || uint64_t(w) * h > kMaxPixels) return -12;
   if (interlace != 0) return -5;  // Adam7 unsupported → caller falls back
   if (bit_depth != 8 && bit_depth != 16) return -6;
 
@@ -190,17 +198,38 @@ int bim_decode_png(const uint8_t* buf, size_t len, uint8_t** out,
   return 0;
 }
 
+// Exceptions (std::bad_alloc on hostile sizes, anything else) must not cross
+// the extern "C" / ctypes boundary — they would abort the host process.
+int bim_decode_png(const uint8_t* buf, size_t len, uint8_t** out,
+                   uint32_t* out_w, uint32_t* out_h) {
+  try {
+    return decode_png_impl(buf, len, out, out_w, out_h);
+  } catch (...) {
+    return -13;
+  }
+}
+
 int bim_decode_png_file(const char* path, uint8_t** out, uint32_t* w,
                         uint32_t* h) {
   FILE* f = fopen(path, "rb");
   if (!f) return -100;
   fseek(f, 0, SEEK_END);
   long n = ftell(f);
-  fseek(f, 0, SEEK_SET);
-  std::vector<uint8_t> buf(n);
-  if (fread(buf.data(), 1, n, f) != size_t(n)) { fclose(f); return -101; }
-  fclose(f);
-  return bim_decode_png(buf.data(), buf.size(), out, w, h);
+  if (n < 0 || fseek(f, 0, SEEK_SET) != 0) { fclose(f); return -102; }
+  int rc;
+  try {
+    std::vector<uint8_t> buf(static_cast<size_t>(n));
+    if (fread(buf.data(), 1, size_t(n), f) != size_t(n)) {
+      fclose(f);
+      return -101;
+    }
+    fclose(f);
+    rc = bim_decode_png(buf.data(), buf.size(), out, w, h);
+  } catch (...) {
+    fclose(f);
+    return -13;
+  }
+  return rc;
 }
 
 // ---------------------------------------------------------------------------
@@ -280,9 +309,20 @@ int bim_read_tensor(const char* path, float** data, uint32_t* h, uint32_t* w,
                     uint32_t* c) {
   FILE* f = fopen(path, "rb");
   if (!f) return -100;
+  fseek(f, 0, SEEK_END);
+  long fsize = ftell(f);
+  if (fsize < 12 || fseek(f, 0, SEEK_SET) != 0) { fclose(f); return -4; }
   uint32_t hdr[3];
   if (fread(hdr, 4, 3, f) != 3) { fclose(f); return -1; }
-  size_t n = size_t(hdr[0]) * hdr[1] * hdr[2];
+  // A corrupt header must not drive the allocation: the element count has to
+  // match the actual file size exactly (12-byte header + n float32s).
+  uint64_t n64 = uint64_t(hdr[0]) * hdr[1] * hdr[2];
+  if (n64 == 0 || n64 > (uint64_t(fsize) - 12) / 4 ||
+      uint64_t(fsize) != 12 + n64 * 4) {
+    fclose(f);
+    return -4;
+  }
+  size_t n = size_t(n64);
   float* buf = (float*)malloc(n * 4);
   if (!buf) { fclose(f); return -2; }
   if (fread(buf, 4, n, f) != n) { free(buf); fclose(f); return -3; }

@@ -54,3 +54,42 @@ def test_tensor_bin_matches_python_writer(tmp_path, rng):
     finally:
         del os.environ["BIM_TPU_NO_NATIVE"]
     assert p1.read_bytes() == p2.read_bytes()
+
+
+def _chunk(ctype: bytes, data: bytes) -> bytes:
+    import struct, zlib
+    return (struct.pack(">I", len(data)) + ctype + data
+            + struct.pack(">I", zlib.crc32(ctype + data)))
+
+
+def test_hostile_png_dimensions_rejected(tmp_path):
+    """Crafted IHDR dims whose size math would wrap size_t must be rejected
+    cleanly (no crash, no huge allocation) — ADVICE r1 medium."""
+    import struct, zlib
+    sig = bytes([137, 80, 78, 71, 13, 10, 26, 10])
+    for w, h in [(1 << 30, 1 << 31), (0xFFFFFFFF, 0xFFFFFFFF), (1 << 21, 2)]:
+        ihdr = struct.pack(">IIBBBBB", w & 0xFFFFFFFF, h & 0xFFFFFFFF,
+                           8, 6, 0, 0, 0)
+        idat = zlib.compress(b"\x00" * 16)
+        png = sig + _chunk(b"IHDR", ihdr) + _chunk(b"IDAT", idat) \
+            + _chunk(b"IEND", b"")
+        p = tmp_path / "evil.png"
+        p.write_bytes(png)
+        assert native.decode_png(p) is None
+
+
+def test_corrupt_tensor_bin_rejected(tmp_path):
+    """A .bin whose header disagrees with the file size must not drive the
+    allocation (ADVICE r1 low)."""
+    import struct
+    p = tmp_path / "evil.bin"
+    # near-2^64-element request
+    p.write_bytes(struct.pack("<III", 0xFFFFFFFF, 0xFFFFFFFF, 0xFFFFFFFF)
+                  + b"\x00" * 64)
+    assert native.read_tensor_bin(p) is None
+    # header claims more floats than the file holds
+    p.write_bytes(struct.pack("<III", 4, 4, 4) + b"\x00" * 8)
+    assert native.read_tensor_bin(p) is None
+    # truncated header
+    p.write_bytes(b"\x01\x02")
+    assert native.read_tensor_bin(p) is None

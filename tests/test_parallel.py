@@ -85,3 +85,15 @@ def test_batch_sharded_rejects_uneven(rng):
     imgs = np.stack([random_image(rng, 8, 8) for _ in range(3)])
     with pytest.raises(ValueError):
         resize_batch_sharded(imgs, 4, mesh=mesh)
+
+
+@pytest.mark.parametrize("method", ["nearest", "bilinear", "lanczos"])
+def test_spatial_sharded_other_methods(rng, method):
+    """Halo is derived from the plan's tap reach (0/1/3), not hardcoded to 2;
+    lanczos' window parameter is plumbed through (ADVICE r1 low)."""
+    mesh = make_mesh(2, spatial=2)
+    img = random_image(rng, 24, 16)
+    want = resize_oracle(img, 4.0, method).astype(np.int32)
+    got = np.asarray(
+        resize_spatial_sharded(img, 4, method, mesh=mesh)).astype(np.int32)
+    assert np.abs(got - want).max() <= 1
