@@ -79,36 +79,47 @@ def _phase_kernel(wrow_ref, wcol_ref, aa_ref, ab_ref, ba_ref, bb_ref,
         out_ref[0, p] = jnp.stack(planes[p], axis=1).reshape(step * scale, wc)
 
 
-@functools.partial(jax.jit, static_argnames=("scale", "method", "a", "step",
-                                             "wstep", "interpret", "lanczos_a"))
-def _resize_phase_pallas(img_bhwc, scale: int, method: str, a: float,
-                         step: int, wstep: int, interpret: bool,
-                         lanczos_a: int = 3):
-    b, h, w, c = img_bhwc.shape
-    s = int(scale)
+# static tap-slot count per (method, scale): the slot range t = idx -
+# (base - left) is set by the kernel's support, never by the image size
+# (clamping only shrinks it), so one compiled program serves every size.
+def _n_slots(method: str, s: int, lanczos_a: int) -> int:
+    if method == "nearest":
+        return 1 if s == 1 else 2
+    if method == "bilinear":
+        return 2
+    if method == "bicubic":
+        return 4
+    if method == "lanczos":
+        return 2 * lanczos_a
+    raise ValueError(f"unknown method {method!r}")
+
+
+def _phase_plan_arrays(method: str, h: int, w: int, c: int, s: int,
+                       a: float, lanczos_a: int, step: int, wstep: int,
+                       n_i: int, n_j: int):
+    """Host-side plan → (wrow [n_i*step, S*T], wcol [S*T, n_j*wstep*C], taps).
+
+    Exact clamp semantics for the ACTUAL (h, w) are folded into the weights
+    via window slots t = idx - (base - left); rows/cols beyond the image get
+    zero weight, so the same arrays are valid for any padded/bucketed extent.
+    """
     kw = ({"a": a} if method == "bicubic"
           else {"a": lanczos_a} if method == "lanczos" else {})
-    plan_y = planlib.plan_axis(method, h, float(scale), **kw)
-    plan_x = planlib.plan_axis(method, w, float(scale), **kw)
+    plan_y = planlib.plan_axis(method, h, float(s), **kw)
+    plan_x = planlib.plan_axis(method, w, float(s), **kw)
     # lanczos left extent depends on its window parameter (floor(ox)-a+1)
     left = lanczos_a - 1 if method == "lanczos" else _LEFT_EXTENT[method]
+    taps = _n_slots(method, s, lanczos_a)
 
-    # window slots t = idx - (base - left): folds clamping and phase-varying
-    # tap offsets into the weights; input then needs only zero padding.
     base_y = np.arange(plan_y.n_out) // s
     slots_y = plan_y.idx.astype(np.int64) - (base_y[:, None] - left)
     base_x = np.arange(plan_x.n_out) // s
     slots_x = plan_x.idx.astype(np.int64) - (base_x[:, None] - left)
-    n_slots = int(max(slots_y.max(), slots_x.max())) + 1
     assert min(slots_y.min(), slots_x.min()) >= 0
-    taps = n_slots
-    halo = taps - 1
-
-    n_i = _round_up(h, step) // step
-    n_j = _round_up(w, wstep) // wstep
+    assert max(slots_y.max(), slots_x.max()) < taps
 
     def build(plan, slots, n_pad):
-        out = np.zeros((plan.n_in, s, n_slots), np.float32)
+        out = np.zeros((plan.n_in, s, taps), np.float32)
         o = np.arange(plan.n_out)
         for k in range(plan.idx.shape[1]):
             np.add.at(out, (o // s, o % s, slots[:, k]), plan.w[:, k])
@@ -116,12 +127,40 @@ def _resize_phase_pallas(img_bhwc, scale: int, method: str, a: float,
             out = np.pad(out, ((0, n_pad - plan.n_in), (0, 0), (0, 0)))
         return out
 
-    wrow = jnp.asarray(build(plan_y, slots_y, n_i * step).reshape(
-        n_i * step, s * taps))                                # [Hp_t, S*T]
+    wrow = build(plan_y, slots_y, n_i * step).reshape(n_i * step, s * taps)
     wcol_px = build(plan_x, slots_x, n_j * wstep)             # [Wp_t, S, T]
-    wcol = jnp.asarray(np.repeat(
+    wcol = np.repeat(
         wcol_px.transpose(1, 2, 0).reshape(s * taps, n_j * wstep),
-        c, axis=1))                                           # [S*T, Wp_t*C]
+        c, axis=1)                                            # [S*T, Wp_t*C]
+    return wrow, wcol, taps, left
+
+
+@functools.partial(jax.jit, static_argnames=("scale", "method", "a", "step",
+                                             "wstep", "interpret", "lanczos_a"))
+def _resize_phase_pallas(img_bhwc, scale: int, method: str, a: float,
+                         step: int, wstep: int, interpret: bool,
+                         lanczos_a: int = 3):
+    b, h, w, c = img_bhwc.shape
+    s = int(scale)
+    n_i = _round_up(h, step) // step
+    n_j = _round_up(w, wstep) // wstep
+    wrow_np, wcol_np, taps, left = _phase_plan_arrays(
+        method, h, w, c, s, a, lanczos_a, step, wstep, n_i, n_j)
+    wrow = jnp.asarray(wrow_np)
+    wcol = jnp.asarray(wcol_np)
+    return _phase_call(img_bhwc, wrow, wcol, s=s, step=step, wstep=wstep,
+                       taps=taps, left=left, interpret=interpret)
+
+
+def _phase_call(img_bhwc, wrow, wcol, *, s, step, wstep, taps, left,
+                interpret):
+    """The pallas dispatch. ``wrow``/``wcol`` are DATA (may be traced): one
+    compiled program per (shape, s, step, wstep, taps) serves every actual
+    image size whose plan arrays are scattered into those extents."""
+    b, h, w, c = img_bhwc.shape
+    n_i = _round_up(h, step) // step
+    n_j = _round_up(w, wstep) // wstep
+    halo = taps - 1
 
     # zero-pad: `left` leading per axis; trailing so that the (i+1)/(j+1)
     # halo blocks are always in-bounds. Padded pixels carry zero weight.
@@ -177,6 +216,76 @@ def _resize_phase_pallas(img_bhwc, scale: int, method: str, a: float,
     if not out_u8:
         out = out.astype(in_dtype)
     return out
+
+
+_phase_call_jit = jax.jit(
+    _phase_call,
+    static_argnames=("s", "step", "wstep", "taps", "left", "interpret"))
+
+
+def resize_phase_pallas_bucketed(img, scale, method: str = "bicubic", *,
+                                 bucket: int = 64, a: float = -0.5,
+                                 lanczos_a: int = 3, step: int = 16,
+                                 wstep: int = 512,
+                                 interpret: bool | None = None,
+                                 weight_cache: dict | None = None):
+    """Bit-exact bucketed resize: ONE compiled program per bucket size
+    serves every actual frame size within it.
+
+    The trick: clamp-at-border semantics live entirely in the plan weights
+    (window slots), so the weights become *traced arguments* built for the
+    ACTUAL (h, w) and scattered into the bucket's static extents — padding
+    rows/cols simply carry zero weight. No replicated-pad approximation
+    (serving.py's former LSB caveat), no recompile per frame size.
+
+    ``weight_cache`` (a plain dict the caller owns, e.g. the Upscaler
+    instance) keeps per-size device-resident weight arrays so steady-state
+    streams upload nothing per frame.
+
+    Returns the FULL bucket-extent output [hb*s, wb*s(, c)]; callers slice
+    to [:h*s, :w*s] host-side (slicing on device would recompile per size).
+    """
+    if not (float(scale) == int(scale) and scale >= 1):
+        raise ValueError("phase pallas path requires an integer upscale")
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    s = int(scale)
+    img = np.asarray(img)   # host-side zero-pad to the bucket below
+    squeeze_hw = img.ndim == 2
+    if squeeze_hw:
+        img = img[..., None]
+    squeeze_b = img.ndim == 3
+    if squeeze_b:
+        img = img[None]
+    b, h, w, c = img.shape
+    hb = -(-h // bucket) * bucket
+    wb = -(-w // bucket) * bucket
+    step_eff = min(step, _round_up(hb, 8))
+    wstep_eff = min(wstep, _round_up(wb, 128 // max(1, c)))
+    n_i = _round_up(hb, step_eff) // step_eff
+    n_j = _round_up(wb, wstep_eff) // wstep_eff
+
+    key = (h, w, c, s, method, float(a), int(lanczos_a), hb, wb)
+    cached = weight_cache.get(key) if weight_cache is not None else None
+    if cached is None:
+        wrow_np, wcol_np, taps, left = _phase_plan_arrays(
+            method, h, w, c, s, float(a), int(lanczos_a),
+            step_eff, wstep_eff, n_i, n_j)
+        cached = (jax.device_put(wrow_np), jax.device_put(wcol_np),
+                  taps, left)
+        if weight_cache is not None:
+            weight_cache[key] = cached
+    wrow, wcol, taps, left = cached
+
+    x = img
+    if (hb, wb) != (h, w):
+        x = np.pad(x, ((0, 0), (0, hb - h), (0, wb - w), (0, 0)))
+    out = _phase_call_jit(jnp.asarray(x), wrow, wcol, s=s, step=step_eff,
+                          wstep=wstep_eff, taps=taps, left=left,
+                          interpret=bool(interpret))
+    if squeeze_b:
+        out = out[0]
+    return out[..., 0] if squeeze_hw else out
 
 
 def resize_phase_pallas(img, scale, method: str = "bicubic", *,

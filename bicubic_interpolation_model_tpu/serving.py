@@ -26,18 +26,24 @@ import numpy as np
 
 @dataclasses.dataclass
 class Upscaler:
-    """``bucket``: pad inputs (edge-replicate) up to multiples of this many
-    LR pixels so arbitrary frame sizes share a small set of compiled
-    programs instead of recompiling per shape. Tradeoff: outputs within
-    2 LR pixels of the right/bottom edge see replicated-pad semantics
-    instead of the reference's clamp-position weights (≤ a few LSB in that
-    band); leave ``bucket=None`` for exact parity."""
+    """``bucket``: round frame extents up to multiples of this many LR
+    pixels so arbitrary frame sizes share ONE compiled program per bucket.
+    Bit-exact: the plan weights (which carry the reference's clamp-at-border
+    semantics) are built for the ACTUAL frame size and passed to the bucket
+    program as data — padded rows/cols have zero weight, so bucketed output
+    equals unbucketed byte-for-byte. Per-size weight arrays are cached
+    device-resident on this instance, so steady-state streams upload only
+    the frame itself. Integer scales only (non-integer scales fall back to
+    exact per-shape compilation)."""
 
     scale: int = 4
     method: str = "bicubic"
     impl: str = "auto"
     a: float = -0.5
     bucket: int | None = None
+
+    def __post_init__(self):
+        self._weight_cache: dict = {}
 
     def _fn(self):
         from .ops.resize import resize
@@ -48,17 +54,18 @@ class Upscaler:
         return f
 
     def _bucketed(self, img_u8):
-        b = self.bucket
         img = np.asarray(img_u8)
         h, w = img.shape[:2]
-        hb = -(-h // b) * b
-        wb = -(-w // b) * b
-        if (hb, wb) != (h, w):
-            pad = [(0, hb - h), (0, wb - w)] + [(0, 0)] * (img.ndim - 2)
-            img = np.pad(img, pad, mode="edge")
-        out = self._fn()(img)
         s = int(self.scale)
-        return out[:h * s, :w * s]
+        if float(self.scale) == s and self.impl in ("auto", "pallas_phase"):
+            from .ops.pallas_phase import resize_phase_pallas_bucketed
+            out = resize_phase_pallas_bucketed(
+                img, s, self.method, bucket=self.bucket, a=self.a,
+                weight_cache=self._weight_cache)
+            return np.asarray(out)[:h * s, :w * s]
+        # non-integer scales / explicit non-pallas impls: exact per-shape
+        # program (recompiles per distinct frame size)
+        return self._fn()(img)
 
     def __call__(self, img_u8, fetch: bool = True):
         out = self._bucketed(img_u8) if self.bucket else self._fn()(img_u8)

@@ -62,14 +62,40 @@ def test_distributed_single_host():
     assert s == slice(0, 32)
 
 
-def test_upscaler_bucketed_interior_exact(rng):
-    """Bucketed serving: interior pixels match exact parity; only the 2-LR-px
-    right/bottom band may deviate (documented tradeoff)."""
+def test_upscaler_bucketed_bit_exact(rng):
+    """Bucketed serving is byte-identical to unbucketed (clamp semantics ride
+    in the traced plan weights, not in input padding) — VERDICT r1 item 6."""
+    from bicubic_interpolation_model_tpu.ops.pallas_phase import (
+        resize_phase_pallas,
+    )
     up = Upscaler(scale=4, bucket=16)
-    img = random_image(rng, 13, 11)   # pads to 16x16
-    out = up(img)
-    assert out.shape == (52, 44, 4)
+    # sizes straddling bucket boundaries: below, at, just above, extreme AR
+    for h, w in [(13, 11), (16, 16), (17, 16), (5, 31), (16, 17)]:
+        img = random_image(rng, h, w)
+        out = up(img)
+        assert out.shape == (h * 4, w * 4, 4)
+        # same kernel, unbucketed (per-shape program) → must be byte-equal
+        want = np.asarray(resize_phase_pallas(img, 4, "bicubic"))
+        np.testing.assert_array_equal(out, want, err_msg=f"{h}x{w}")
+    # full border parity vs the float64 oracle too
+    img = random_image(rng, 13, 11)
     want = resize_oracle(img, 4.0, "bicubic").astype(np.int32)
-    b = 2 * 4
-    d = np.abs(out[:-b, :-b].astype(np.int32) - want[:-b, :-b])
-    assert d.max() <= 1
+    assert np.abs(up(img).astype(np.int32) - want).max() <= 1
+
+
+def test_upscaler_bucketed_one_program_per_bucket(rng):
+    """All sizes within one bucket share one compiled program: the weight
+    cache grows per size, but sizes map to the same (hb, wb) jit key."""
+    up = Upscaler(scale=2, method="bilinear", bucket=32)
+    for h, w in [(10, 12), (20, 30), (32, 32)]:
+        up(random_image(rng, h, w))
+    keys = {(k[7], k[8]) for k in up._weight_cache}   # (hb, wb)
+    assert keys == {(32, 32)}
+
+
+def test_upscaler_bucketed_methods(rng):
+    for method in ["nearest", "bilinear", "lanczos"]:
+        up = Upscaler(scale=4, method=method, bucket=8)
+        img = random_image(rng, 11, 9)
+        want = resize_oracle(img, 4.0, method).astype(np.int32)
+        assert np.abs(up(img).astype(np.int32) - want).max() <= 1, method
