@@ -114,9 +114,73 @@ def _axis_pass_phase(x: jnp.ndarray, plan: AxisPlan, axis: int, scale: int) -> j
     return jnp.moveaxis(out, 0, axis)
 
 
-def _resize_phase(chw: jnp.ndarray, plan_y: AxisPlan, plan_x: AxisPlan, scale: int) -> jnp.ndarray:
-    t = _axis_pass_phase(chw, plan_y, axis=1, scale=scale)
-    return _axis_pass_phase(t, plan_x, axis=2, scale=scale)
+def _axis_pass_phase_rational(x: jnp.ndarray, plan: AxisPlan, axis: int,
+                              p: int, q: int) -> jnp.ndarray:
+    """Rational-scale (p/q) phase pass: interior weights are periodic with
+    period ``p`` in the output index (the JS kernel is scale-agnostic —
+    reference bicubic_super_resolution.js:38-39 — so ours is too).
+
+    For output o = k*p + r the 4 taps sit at k*q + t(r) + m with
+    t(r) = floor(r*q/p) - 1, so each phase r is a 4-tap FMA over stride-q
+    slices of the input, interleaved by a [n_k, p] reshape. Borders (clamp
+    semantics) come from the exact gather rows, as in the integer path.
+    """
+    n_in, n_out = plan.n_in, plan.n_out
+    # interior periods k: all taps in-bounds for every phase
+    k0 = max(1, -(-1 * 1 // q))                       # k*q + t(r) >= 0 → k>=1
+    k1 = (n_in - 2 - q) // q                          # k*q+q-1+2 <= n_in-1
+    lo, hi = k0 * p, (k1 + 1) * p
+    if hi > n_out:                                    # rounding of n_out
+        hi -= p
+        k1 -= 1
+    if k1 < k0:
+        return _axis_pass_gather(x, plan, axis)
+    n_k = k1 - k0 + 1
+
+    x = jnp.moveaxis(x, axis, 0)
+    tr = [int(np.floor(r * q / p)) - 1 for r in range(p)]
+    # phase weights: the plan rows of the first interior period (k-invariant)
+    lut = plan.w[lo:lo + p]                           # [p, 4]
+    phases = []
+    for r in range(p):
+        acc = None
+        for m in range(4):
+            start = k0 * q + tr[r] + m
+            sl = x[start:start + n_k * q:q]
+            term = lut[r, m] * sl
+            acc = term if acc is None else acc + term
+        phases.append(acc)
+    tmp = jnp.stack(phases, axis=1)                   # [n_k, p, ...]
+    interior = tmp.reshape((n_k * p,) + x.shape[1:])
+
+    def exact(sub_plan):
+        g = x[jnp.asarray(sub_plan.idx)]
+        w = jnp.asarray(sub_plan.w).reshape(
+            sub_plan.w.shape + (1,) * (x.ndim - 1))
+        return (g * w).sum(axis=1)
+
+    top = exact(dataclasses.replace(plan, idx=plan.idx[:lo], w=plan.w[:lo]))
+    bot = exact(dataclasses.replace(plan, idx=plan.idx[hi:], w=plan.w[hi:]))
+    out = jnp.concatenate([top, interior, bot], axis=0)
+    return jnp.moveaxis(out, 0, axis)
+
+
+def _as_fraction(scale: float, max_den: int = 64) -> tuple[int, int] | None:
+    """scale as p/q with small q (exactly — floats like 1.5, 2.5 are exact)."""
+    from fractions import Fraction
+    f = Fraction(scale).limit_denominator(max_den)
+    if float(f) != float(scale) or f < 1:
+        return None
+    return f.numerator, f.denominator
+
+
+def _resize_phase(chw: jnp.ndarray, plan_y: AxisPlan, plan_x: AxisPlan, scale: float) -> jnp.ndarray:
+    if _is_integer_upscale(scale):
+        t = _axis_pass_phase(chw, plan_y, axis=1, scale=int(scale))
+        return _axis_pass_phase(t, plan_x, axis=2, scale=int(scale))
+    p, q = _as_fraction(scale)
+    t = _axis_pass_phase_rational(chw, plan_y, axis=1, p=p, q=q)
+    return _axis_pass_phase_rational(t, plan_x, axis=2, p=p, q=q)
 
 
 # ---------------------------------------------------------------------------
@@ -157,9 +221,12 @@ def _resize_jit(img_hwc, scale, method, impl, a, lanczos_a):
     elif impl == "matmul":
         out = _resize_matmul(chw, plan_y, plan_x)
     elif impl == "phase":
-        if not _is_integer_upscale(scale) or plan_y.taps != 4:
-            raise ValueError("phase impl requires integer upscale and a 4-tap kernel")
-        out = _resize_phase(chw, plan_y, plan_x, int(scale))
+        if plan_y.taps != 4 or (not _is_integer_upscale(scale)
+                                and _as_fraction(scale) is None):
+            raise ValueError(
+                "phase impl requires a 4-tap kernel and an integer or "
+                "small-rational (p/q, q<=64) upscale")
+        out = _resize_phase(chw, plan_y, plan_x, scale)
     else:
         raise ValueError(f"unknown impl {impl!r}")
 

@@ -34,6 +34,16 @@ def initialize(coordinator: str | None = None, num_processes: int | None = None,
         kwargs["num_processes"] = num_processes
     if process_id is not None:
         kwargs["process_id"] = process_id
+    # CPU multi-process needs an explicit cross-process collectives backend
+    # (TPU pods get theirs from the platform; the knob must be set before the
+    # backend initializes).
+    platforms = (jax.config.jax_platforms
+                 or os.environ.get("JAX_PLATFORMS", ""))
+    if "cpu" in str(platforms):
+        try:
+            jax.config.update("jax_cpu_collectives_implementation", "gloo")
+        except Exception:
+            pass  # knob absent or backend already up — fine on single host
     try:
         jax.distributed.initialize(**kwargs)
     except RuntimeError as e:

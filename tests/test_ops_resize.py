@@ -84,7 +84,22 @@ def test_resize_tiny_image_phase_fallback(rng):
 
 def test_resize_rejects_bad_args(rng):
     img = random_image(rng, 8, 8)
+    # rational scales are now a phase fast path (r2); an irrational scale
+    # (no exact small p/q) still has no phase decomposition
     with pytest.raises(ValueError):
-        resize(img, 2.5, "bicubic", impl="phase")
+        resize(img, 2.7182818, "bicubic", impl="phase")
     with pytest.raises(ValueError):
         resize(img, 2, "nope")
+
+
+@pytest.mark.parametrize("scale", [1.5, 2.5, 1.25])
+def test_resize_phase_rational_parity(rng, scale):
+    """Rational-scale phase path (VERDICT r1 item 4): period-p LUT over
+    stride-q slices, exact border rows — ±1 LSB vs the float64 oracle."""
+    for h, w in [(24, 20), (17, 13)]:
+        img = random_image(rng, h, w)
+        want = resize_oracle(img, scale, "bicubic").astype(np.int32)
+        got = np.asarray(
+            resize(img, scale, "bicubic", impl="phase")).astype(np.int32)
+        assert got.shape == want.shape
+        assert np.abs(got - want).max() <= 1

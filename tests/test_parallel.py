@@ -97,3 +97,34 @@ def test_spatial_sharded_other_methods(rng, method):
     got = np.asarray(
         resize_spatial_sharded(img, 4, method, mesh=mesh)).astype(np.int32)
     assert np.abs(got - want).max() <= 1
+
+
+def test_multihost_two_process_smoke():
+    """2-process jax.distributed over localhost (VERDICT r1 item 8): verifies
+    distributed.initialize, process/device topology, host_slice, and one
+    sharded reduction across the global mesh."""
+    import os
+    import pathlib
+    import socket
+    import subprocess
+
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+    worker = pathlib.Path(__file__).parent / "distributed_worker.py"
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("JAX_PLATFORMS", "JAX_PLATFORM_NAME", "XLA_FLAGS")}
+    procs = [
+        subprocess.Popen(
+            ["python", str(worker), str(port), str(i)],
+            cwd="/root/repo", env=env,
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True)
+        for i in range(2)
+    ]
+    outs = []
+    for i, p in enumerate(procs):
+        out, _ = p.communicate(timeout=180)
+        outs.append(out)
+        assert p.returncode == 0, f"worker {i} failed:\n{out}"
+    for i in range(2):
+        assert f"WORKER_OK {i}" in outs[i]
