@@ -22,7 +22,8 @@ def main():
     )
 
     backend = jax.default_backend()
-    impls = ("pallas_phase", "pallas") if backend == "tpu" else ("matmul",)
+    impls = (("pallas_phase", "pallas_phase_planar") if backend == "tpu"
+             else ("matmul",))
     best, results = headline(impls=impls, runs=5)
     for r in results:
         print(f"# {r}", file=sys.stderr)
@@ -32,15 +33,24 @@ def main():
                           "error": "no impl passed parity"}))
         return 1
     value = round(best["gpix_per_s"], 3)
-    print(json.dumps({
+    hwc = next((r for r in results
+                if r.get("impl") == "pallas_phase" and "gpix_per_s" in r),
+               None)
+    out = {
         "metric": "bicubic_4x_throughput",
         "value": value,
         "unit": "GPix/s",
         "vs_baseline": round(value / REFERENCE_BICUBIC_GPIX_S, 1),
         "impl": best["impl"],
         "max_u8_delta": best["max_u8_delta"],
+        "parity_geometry": best.get("parity_geometry"),
         "backend": backend,
-    }))
+    }
+    if best.get("layout"):
+        out["layout"] = best["layout"]
+    if hwc is not None and hwc is not best:
+        out["hwc_interleaved_gpix_per_s"] = round(hwc["gpix_per_s"], 3)
+    print(json.dumps(out))
     return 0
 
 

@@ -60,6 +60,30 @@ def resize_oracle(img_u8: np.ndarray, scale: float, method: str = "bicubic",
     return js_round_u8(x)
 
 
+def resize_oracle_rows(img_u8: np.ndarray, scale: float, rows: np.ndarray,
+                       method: str = "bicubic", **kw) -> np.ndarray:
+    """Exact oracle evaluated only at the given OUTPUT rows.
+
+    Separability makes this exact and cheap: the row pass is computed only
+    for the taps of the requested rows, then the full column pass runs on
+    those few rows. At 1080p→4x the full oracle materializes multi-GB f64
+    intermediates (~9 min); this takes well under a second for ~64 rows —
+    what the full-geometry hardware parity gate (bench.suite.check_parity)
+    uses.
+    """
+    assert img_u8.ndim == 3, "expected HWC"
+    h, w = img_u8.shape[:2]
+    plan_y = plan_axis(method, h, scale, **kw)
+    plan_x = plan_axis(method, w, scale, **kw)
+    rows = np.asarray(rows)
+    x = img_u8.astype(np.float64)
+    g = x[plan_y.idx[rows]]                       # [n_rows, taps, W, C]
+    wy = plan_y.w.astype(np.float64)[rows][..., None, None]
+    x = (g * wy).sum(axis=1)                      # [n_rows, W, C]
+    x = _apply_plan(x, plan_x, axis=1)
+    return js_round_u8(x)
+
+
 def resize_oracle_loops(img_u8: np.ndarray, scale: float, a: float = -0.5) -> np.ndarray:
     """Literal (slow) transcription of the JS bicubic double loop, float64.
 

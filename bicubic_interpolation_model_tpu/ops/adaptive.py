@@ -106,45 +106,59 @@ def _adaptive_resize_u8(img, scale: int, a: float):
         # JS Math.round half-up of p/s in [0,1): 1 if p/s >= 0.5 else 0
         return int(phase_over_scale >= 0.5)
 
-    out_phases = []
-    for py in range(scale):
-        fy = py / scale
-        cy_off = center_offset(fy)
-        row = []
-        for px in range(scale):
-            fx = px / scale
-            cx_off = center_offset(fx)
+    # The modulation factor F (laws + region select + center-tap exemption)
+    # depends only on the CENTER-VARIANT (cy_off, cx_off) and the tap — not
+    # on the phase — so the 16 phases share their group's 16 F maps: 64 maps
+    # computed instead of 256 (the round-1 implementation re-derived the
+    # laws per phase-tap, 4x the work and the reason it ran at 0.96 GPix/s).
+    # The positional-equality exemption is also group-level: it compares
+    # CLAMPED tap rows/cols to the clamped center row/col, which depend on
+    # (tap, cy_off) per axis only.
+    phase_groups = {}
+    for p in range(scale):
+        phase_groups.setdefault(center_offset(p / scale), []).append(p)
+
+    out_planes = [[None] * scale for _ in range(scale)]
+    for cy_off, pys in phase_groups.items():
+        for cx_off, pxs in phase_groups.items():
             cl = cen_lum[cy_off][cx_off]
             flat_r = cen_flat[cy_off][cx_off]
             edge_r = cen_edge[cy_off][cx_off]
             cy_pos = np.clip(np.arange(h) + cy_off, 0, h - 1)
             cx_pos = np.clip(np.arange(w) + cx_off, 0, w - 1)
-
-            acc = jnp.zeros((h, w, c), jnp.float32)
-            wsum = jnp.zeros((h, w), jnp.float32)
+            fmaps = [[None] * 4 for _ in range(4)]
             for n in range(4):
-                py_pos, wy = axis_geometry(h, fy, n)
-                # vectors stay host constants; outer products happen on device
-                eq_y = jnp.asarray(py_pos == cy_pos)[:, None]
-                wy_d = jnp.asarray(wy)[:, None]
+                eq_y = np.clip(np.arange(h) + n - 1, 0, h - 1) == cy_pos
                 for m in range(4):
-                    px_pos, wx = axis_geometry(w, fx, m)
-                    eq_x = jnp.asarray(px_pos == cx_pos)[None, :]
-                    base_w = wy_d * jnp.asarray(wx)[None, :]
+                    eq_x = np.clip(np.arange(w) + m - 1, 0, w - 1) == cx_pos
                     ld = jnp.abs(cl - tap_lum[n][m])
-                    edge_w = base_w * (1.0 + 0.5 * jnp.minimum(1.0, ld / 50.0))
-                    flat_w = base_w * jnp.maximum(0.5, 1.0 - ld / 30.0)
-                    text_w = base_w * (0.8 + 0.4 * jnp.exp(-ld / 20.0))
-                    mod = jnp.where(edge_r, edge_w,
-                                    jnp.where(flat_r, flat_w, text_w))
-                    wgt = jnp.where(eq_y & eq_x, base_w, mod)
-                    acc = acc + wgt[..., None] * tap_pix[n][m]
-                    wsum = wsum + wgt
-            row.append(acc / wsum[..., None])
-        out_phases.append(row)
+                    edge_f = 1.0 + 0.5 * jnp.minimum(1.0, ld / 50.0)
+                    flat_f = jnp.maximum(0.5, 1.0 - ld / 30.0)
+                    text_f = 0.8 + 0.4 * jnp.exp(-ld / 20.0)
+                    fmap = jnp.where(edge_r, edge_f,
+                                     jnp.where(flat_r, flat_f, text_f))
+                    eq = jnp.asarray(eq_y)[:, None] & jnp.asarray(eq_x)[None, :]
+                    fmaps[n][m] = jnp.where(eq, 1.0, fmap)
+
+            for py in pys:
+                fy = py / scale
+                wys = [jnp.asarray(axis_geometry(h, fy, n)[1])[:, None]
+                       for n in range(4)]
+                for px in pxs:
+                    fx = px / scale
+                    wxs = [jnp.asarray(axis_geometry(w, fx, m)[1])[None, :]
+                           for m in range(4)]
+                    acc = jnp.zeros((h, w, c), jnp.float32)
+                    wsum = jnp.zeros((h, w), jnp.float32)
+                    for n in range(4):
+                        for m in range(4):
+                            wgt = wys[n] * wxs[m] * fmaps[n][m]
+                            acc = acc + wgt[..., None] * tap_pix[n][m]
+                            wsum = wsum + wgt
+                    out_planes[py][px] = acc / wsum[..., None]
 
     # interleave phases: [S, S, H, W, C] -> [H*S, W*S, C]
-    ph = jnp.stack([jnp.stack(r) for r in out_phases])   # [Sy, Sx, H, W, C]
+    ph = jnp.stack([jnp.stack(r) for r in out_planes])   # [Sy, Sx, H, W, C]
     out = ph.transpose(2, 0, 3, 1, 4).reshape(h * scale, w * scale, c)
     return round_u8(out)
 

@@ -6,13 +6,16 @@ structure of integer upscales directly on the VPU:
 
 * the image stays HWC, viewed as [H, W*C] so channels ride the lane axis —
   no CHW transposes anywhere;
-* row pass: tmp_q[r, :] = Σ_n wrow[r, q, n] * win[r+n, :] — per-row scalar
-  weights broadcast over lanes;
-* col pass: out_qp[:, X*C+c] = Σ_m wcol[p, m, X*C+c] * tmp_q[:, (X+m)*C+c]
+* row pass at interleaved output-row resolution: the window rows are
+  sublane-repeated by S so output row r*S+q reads rows r..r+taps as plain
+  shifted slices — no per-(p,q) planes, no stack, minimal live registers
+  (round 2 "vR" redesign, +19%..2.4x over the round-1 kernel);
+* col pass: out_p[:, X*C+c] = Σ_m wcol[p, m, X*C+c] * tmp[:, (X+m)*C+c]
   — the tap shift is m*C lanes, weights pre-repeated C times per pixel;
-* row-phase interleave is a sublane stack+reshape in-kernel; column phases
-  stay planar in the kernel output (Mosaic cannot reshape across the lane
-  dim) and one cheap XLA u8 transpose interleaves them outside;
+* column phases stay planar in the kernel output (lane-dim interleaves
+  don't lower in Mosaic: no strided stores, no lane repeats) and one XLA
+  u8 transpose interleaves them outside — or is skipped entirely with
+  layout="planar";
 * exact reference semantics including borders: plan weights are scattered
   into window *slots* t = idx - (base - left), which folds all clamp
   handling (duplicate clamped taps accumulate) and phase-dependent tap
@@ -43,8 +46,21 @@ from ..core import plan as planlib
 from .pallas_resize import _LEFT_EXTENT, _round_up
 
 
-def _phase_kernel(wrow_ref, wcol_ref, aa_ref, ab_ref, ba_ref, bb_ref,
+def _phase_kernel(wrowi_ref, wcol_ref, aa_ref, ab_ref, ba_ref, bb_ref,
                   out_ref, *, scale, step, wstep, c, taps, out_u8):
+    """Row-interleaved phase-FMA body ("vR", round 2 — scripts/kernel_lab.py).
+
+    The round-1 kernel computed a [step, wc] plane per (p, q) phase pair and
+    stacked 16 u8 planes at the end; those 16 live arrays spilled vregs and
+    capped throughput at ~8.3 GPix/s regardless of tap count. Here the row
+    pass runs directly at interleaved output-row resolution: jnp.repeat of
+    the window rows by S makes output row r*S+q read window rows r..r+taps
+    as plain shifted slices (wrowi is the interleaved [step*S, taps] weight
+    layout), so only ONE tmp and one acc are ever live and nothing is
+    stacked. The rounding bias is folded into the accumulator init and the
+    round chain is trunc-cast + i32 clip (floor == trunc for v >= -0.5, and
+    the i32 clip catches undershoot). Measured 1.65 ms/frame planar /
+    3.35 ms interleaved at 1080p->4x vs 3.99 ms for the round-1 kernel."""
     halo = taps - 1
     wc = wstep * c
     hc = halo * c
@@ -57,26 +73,24 @@ def _phase_kernel(wrow_ref, wcol_ref, aa_ref, ab_ref, ba_ref, bb_ref,
     winf = win.astype(jnp.int32).astype(jnp.float32) if win.dtype == jnp.uint8 \
         else win.astype(jnp.float32)
 
-    planes = [[None] * scale for _ in range(scale)]           # [p][q]
-    for q in range(scale):
-        tmp = None
-        for n in range(taps):
-            w = wrow_ref[:, q * taps + n][:, None]            # [step, 1]
-            term = w * winf[n:n + step, :]
-            tmp = term if tmp is None else tmp + term
-        for p in range(scale):
-            acc = None
-            for m in range(taps):
-                wv = wcol_ref[p * taps + m:p * taps + m + 1, :]  # [1, wstep*c]
-                term = wv * tmp[:, m * c:m * c + wc]
-                acc = term if acc is None else acc + term
-            if out_u8:
-                acc = jnp.clip(jnp.floor(acc + 0.5), 0, 255)
-                acc = acc.astype(jnp.int32).astype(jnp.uint8)
-            planes[p][q] = acc
+    rep = jnp.repeat(winf, scale, axis=0)           # [(step+halo)*S, ...]
+    tmp_i = None
+    for n in range(taps):
+        w = wrowi_ref[:, n][:, None]                # [step*S, 1]
+        term = w * rep[n * scale:(n + step) * scale, :]
+        tmp_i = term if tmp_i is None else tmp_i + term
     for p in range(scale):
-        # sublane interleave of the q row-phases: [step, S, wc] -> [step*S, wc]
-        out_ref[0, p] = jnp.stack(planes[p], axis=1).reshape(step * scale, wc)
+        acc = None
+        for m in range(taps):
+            wv = wcol_ref[p * taps + m:p * taps + m + 1, :]  # [1, wstep*c]
+            term = wv * tmp_i[:, m * c:m * c + wc]
+            if acc is None:
+                acc = term + 0.5 if out_u8 else term
+            else:
+                acc = acc + term
+        if out_u8:
+            acc = jnp.clip(acc.astype(jnp.int32), 0, 255).astype(jnp.uint8)
+        out_ref[0, p] = acc
 
 
 # static tap-slot count per (method, scale): the slot range t = idx -
@@ -135,28 +149,46 @@ def _phase_plan_arrays(method: str, h: int, w: int, c: int, s: int,
     return wrow, wcol, taps, left
 
 
+def _interleave_wrow(wrow_np, s, taps):
+    """[rows, S*T] per-input-row weights → [rows*S, T] interleaved layout
+    (row r*S+q of the output reads window slots with wrow[r, q*T+t])."""
+    rows = wrow_np.shape[0]
+    return wrow_np.reshape(rows, s, taps).reshape(rows * s, taps)
+
+
 @functools.partial(jax.jit, static_argnames=("scale", "method", "a", "step",
-                                             "wstep", "interpret", "lanczos_a"))
+                                             "wstep", "interpret", "lanczos_a",
+                                             "layout"))
 def _resize_phase_pallas(img_bhwc, scale: int, method: str, a: float,
                          step: int, wstep: int, interpret: bool,
-                         lanczos_a: int = 3):
+                         lanczos_a: int = 3, layout: str = "hwc"):
     b, h, w, c = img_bhwc.shape
     s = int(scale)
     n_i = _round_up(h, step) // step
     n_j = _round_up(w, wstep) // wstep
     wrow_np, wcol_np, taps, left = _phase_plan_arrays(
         method, h, w, c, s, a, lanczos_a, step, wstep, n_i, n_j)
-    wrow = jnp.asarray(wrow_np)
+    wrow = jnp.asarray(_interleave_wrow(wrow_np, s, taps))
     wcol = jnp.asarray(wcol_np)
     return _phase_call(img_bhwc, wrow, wcol, s=s, step=step, wstep=wstep,
-                       taps=taps, left=left, interpret=interpret)
+                       taps=taps, left=left, interpret=interpret,
+                       layout=layout)
 
 
 def _phase_call(img_bhwc, wrow, wcol, *, s, step, wstep, taps, left,
-                interpret):
+                interpret, layout="hwc"):
     """The pallas dispatch. ``wrow``/``wcol`` are DATA (may be traced): one
     compiled program per (shape, s, step, wstep, taps) serves every actual
-    image size whose plan arrays are scattered into those extents."""
+    image size whose plan arrays are scattered into those extents.
+
+    ``layout="hwc"`` delivers the standard interleaved image (one XLA
+    u8 transpose after the kernel — it costs as much as the kernel itself
+    at 1080p, ~1.7 ms; every cheaper formulation was measured slower, see
+    docs/PERF_NOTES.md). ``layout="planar"`` skips it and returns the raw
+    kernel output [B, S, n_i*step*S, n_j*wstep*C] (column phase p planar,
+    rows fully interleaved, spatial extents PADDED to the tile grid) — 2.4x
+    faster end-to-end for consumers that accept it; use
+    :func:`interleave_planar` (or slice host-side) to materialize HWC."""
     b, h, w, c = img_bhwc.shape
     n_i = _round_up(h, step) // step
     n_j = _round_up(w, wstep) // wstep
@@ -181,7 +213,7 @@ def _phase_call(img_bhwc, wrow, wcol, *, s, step, wstep, taps, left,
         kernel,
         grid=(b, n_i, n_j),
         in_specs=[
-            pl.BlockSpec((step, s * taps), lambda bi, i, j: (i, 0),
+            pl.BlockSpec((step * s, taps), lambda bi, i, j: (i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((s * taps, wstep * c), lambda bi, i, j: (0, j),
                          memory_space=pltpu.VMEM),
@@ -209,8 +241,10 @@ def _phase_call(img_bhwc, wrow, wcol, *, s, step, wstep, taps, left,
         ),
         interpret=interpret,
     )(wrow, wcol, x2, x2, x2, x2)
+    if layout == "planar":
+        return out if out_u8 else out.astype(in_dtype)
     # XLA-side column-phase interleave: [B, S_p, H_out, W_lr, C] →
-    # [B, H_out, W_lr, S_p, C] → [B, H_out, W_out, C] (one cheap u8 pass)
+    # [B, H_out, W_lr, S_p, C] → [B, H_out, W_out, C]
     out = out[:, :, :h * s, :w * c].reshape(b, s, h * s, w, c)
     out = out.transpose(0, 2, 3, 1, 4).reshape(b, h * s, w * s, c)
     if not out_u8:
@@ -218,9 +252,21 @@ def _phase_call(img_bhwc, wrow, wcol, *, s, step, wstep, taps, left,
     return out
 
 
+def interleave_planar(planar, h: int, w: int, scale: int, c: int):
+    """[B, S, rows_pad, cols_pad*C] planar kernel output → [B, H*S, W*S, C].
+
+    Works on device arrays (jnp) or host arrays (numpy) — for fetched
+    results prefer numpy (free of the device transpose cost)."""
+    xp = np if isinstance(planar, np.ndarray) else jnp
+    s = int(scale)
+    o = planar[:, :, :h * s, :w * c].reshape(-1, s, h * s, w, c)
+    return xp.transpose(o, (0, 2, 3, 1, 4)).reshape(-1, h * s, w * s, c)
+
+
 _phase_call_jit = jax.jit(
     _phase_call,
-    static_argnames=("s", "step", "wstep", "taps", "left", "interpret"))
+    static_argnames=("s", "step", "wstep", "taps", "left", "interpret",
+                     "layout"))
 
 
 def resize_phase_pallas_bucketed(img, scale, method: str = "bicubic", *,
@@ -271,8 +317,8 @@ def resize_phase_pallas_bucketed(img, scale, method: str = "bicubic", *,
         wrow_np, wcol_np, taps, left = _phase_plan_arrays(
             method, h, w, c, s, float(a), int(lanczos_a),
             step_eff, wstep_eff, n_i, n_j)
-        cached = (jax.device_put(wrow_np), jax.device_put(wcol_np),
-                  taps, left)
+        cached = (jax.device_put(_interleave_wrow(wrow_np, s, taps)),
+                  jax.device_put(wcol_np), taps, left)
         if weight_cache is not None:
             weight_cache[key] = cached
     wrow, wcol, taps, left = cached
@@ -291,10 +337,16 @@ def resize_phase_pallas_bucketed(img, scale, method: str = "bicubic", *,
 def resize_phase_pallas(img, scale, method: str = "bicubic", *,
                         a: float = -0.5, lanczos_a: int = 3,
                         step: int = 16, wstep: int = 512,
-                        interpret: bool | None = None):
+                        interpret: bool | None = None,
+                        layout: str = "hwc"):
     """Fused phase-FMA resize. HW / HWC / BHWC uint8 or float input, integer
     scale. A batch becomes a leading grid dimension — one kernel launch for
-    the whole batch (the sr.sh-style batch flow without vmap overhead)."""
+    the whole batch (the sr.sh-style batch flow without vmap overhead).
+
+    ``layout="planar"`` (BHWC input only) returns the kernel's native
+    [B, S, rows_pad, cols_pad*C] planar-phase output — ~2.4x faster at
+    1080p->4x because the column-interleave pass is skipped; see
+    :func:`interleave_planar`."""
     if not (float(scale) == int(scale) and scale >= 1):
         raise ValueError("phase pallas path requires an integer upscale")
     if interpret is None:
@@ -306,12 +358,14 @@ def resize_phase_pallas(img, scale, method: str = "bicubic", *,
     squeeze_b = img.ndim == 3
     if squeeze_b:
         img = img[None]
+    if layout == "planar" and (squeeze_b or squeeze_hw):
+        raise ValueError("layout='planar' requires BHWC input")
     h, w = img.shape[1:3]
     step_eff = min(step, _round_up(h, 8))
     wstep_eff = min(wstep, _round_up(w, 128 // max(1, img.shape[3])))
     out = _resize_phase_pallas(img, int(scale), method, float(a),
                                step_eff, wstep_eff, bool(interpret),
-                               lanczos_a=int(lanczos_a))
+                               lanczos_a=int(lanczos_a), layout=layout)
     if squeeze_b:
         out = out[0]
     return out[..., 0] if squeeze_hw else out

@@ -1,0 +1,161 @@
+#!/usr/bin/env python3
+"""Measure per-method throughput on the real chip and write
+results/method_throughput.json — the framework's version of the reference's
+8-method cp_performance sweep (SURVEY §6).
+
+Classical kernels run at 1080p→4x (the headline geometry). The adaptive
+kernel and every learned/neural model run at the reference's own benchmark
+geometry (image 0020: LR 510x348 → 2040x1392, cp_performance/*.csv) so the
+`reference_ms` / `speedup` columns compare like for like.
+
+All timings use the chained-K on-device methodology (bench.suite): K
+forwards inside one jit via fori_loop with per-iteration input perturbation,
+per-frame time = slope between two K values.
+"""
+
+import json
+import pathlib
+import sys
+import time
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
+
+import numpy as np
+
+# reference wall-clock (ms, best run) from cp_performance/*/*.csv
+REFERENCE_MS = {
+    "nearest": 30.1, "bilinear": 137.6, "bicubic": 7312.6, "lanczos": 6807.9,
+    "adaptive_bicubic": 26848.6, "model_1e-3-30": 7580.3,
+    "espcn_medium": 2452.6, "espcn_thick": 16434.1,
+}
+LR_H, LR_W, SCALE = 348, 510, 4   # image 0020 geometry
+
+
+def chained_bench(fn, img, k_lo=3, k_hi=15, reps=2):
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def chained(img, k):
+        def body(i, acc):
+            x = img ^ i.astype(img.dtype) if img.dtype == jnp.uint8 \
+                else img + i.astype(img.dtype)
+            y = fn(x)
+            return acc + jnp.sum(
+                y.reshape(-1)[::4097].astype(jnp.float32))
+        return jax.lax.fori_loop(0, k, body, jnp.float32(0))
+
+    float(np.asarray(chained(img, 1)))
+    def timed(k):
+        best = np.inf
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            float(np.asarray(chained(img, k)))
+            best = min(best, time.perf_counter() - t0)
+        return best
+    t_lo, t_hi = timed(k_lo), timed(k_hi)
+    return max((t_hi - t_lo) / (k_hi - k_lo), 1e-9)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from bicubic_interpolation_model_tpu.bench.suite import (
+        bench_resize_ondevice, check_parity)
+
+    root = pathlib.Path(__file__).resolve().parents[1]
+    on_tpu = jax.default_backend() == "tpu"
+    impl = "pallas_phase" if on_tpu else "matmul"
+    out = {}
+    out_pix_0020 = (LR_H * SCALE) * (LR_W * SCALE)
+
+    # ---- classical kernels at 1080p→4x (headline geometry) ----
+    for method in ("nearest", "bilinear", "lanczos", "bicubic"):
+        r = bench_resize_ondevice(1080, 1920, 4, method, impl=impl)
+        d = check_parity(4, method, impl=impl, h=96, w=64)
+        row = {"ms_per_frame": r["ms_per_frame"],
+               "gpix_per_s": r["gpix_per_s"], "max_u8_delta": d,
+               "geometry": "1080p->4x"}
+        if method == "bicubic":
+            rp = bench_resize_ondevice(1080, 1920, 4, method,
+                                       impl="pallas_phase_planar")
+            row["planar_gpix_per_s"] = rp["gpix_per_s"]
+        out[method] = row
+        print(method, row)
+
+    rng = np.random.default_rng(0)
+    lr_u8 = jax.device_put(
+        rng.integers(0, 256, (LR_H, LR_W, 4), np.uint8))
+
+    # ---- adaptive bicubic at the reference's 0020 geometry ----
+    from bicubic_interpolation_model_tpu.ops.adaptive import (
+        _adaptive_resize_u8)
+    per = chained_bench(lambda x: _adaptive_resize_u8(x, SCALE, -0.5), lr_u8)
+    out["adaptive_bicubic_0020"] = {
+        "ms_per_frame": per * 1e3,
+        "gpix_per_s": out_pix_0020 / per / 1e9,
+        "reference_ms": REFERENCE_MS["adaptive_bicubic"],
+        "speedup": REFERENCE_MS["adaptive_bicubic"] / (per * 1e3),
+    }
+    print("adaptive_bicubic_0020", out["adaptive_bicubic_0020"])
+
+    # ---- learned weight-predictor paths (fused predict+apply) ----
+    from bicubic_interpolation_model_tpu.evaluation.model_analysis import (
+        _load_model_any)
+    from bicubic_interpolation_model_tpu.models.inference import (
+        _super_resolve_fused)
+
+    wp_dirs = {"ref_1e-3-30": "/root/reference/version3.0/model/1e-3-30"}
+    for d in sorted((root / "model").glob("wp-*")):
+        wp_dirs[d.name] = str(d)
+    for name, d in wp_dirs.items():
+        model, params = _load_model_any(d)
+        per = chained_bench(
+            lambda x: _super_resolve_fused(model, params, x, SCALE, "train"),
+            lr_u8)
+        ref = REFERENCE_MS["model_1e-3-30"]
+        out[name] = {"ms_per_frame": per * 1e3,
+                     "gpix_per_s": out_pix_0020 / per / 1e9,
+                     "reference_ms": ref, "speedup": ref / (per * 1e3),
+                     "note": "fused predict+apply, one jit program"}
+        print(name, out[name])
+
+    # ---- direct neural baselines (the reference's esrgan slots) ----
+    from bicubic_interpolation_model_tpu.models.espcn import MODEL_ZOO
+    from bicubic_interpolation_model_tpu.models.inference import _apply_direct
+    from bicubic_interpolation_model_tpu.train import checkpoint
+
+    lr_f = jnp.asarray(np.asarray(lr_u8)[..., :3], jnp.float32) / 255.0
+    for name, ref_key in (("espcn_medium", "espcn_medium"),
+                          ("espcn_thick", "espcn_thick"),
+                          ("esrgan_lite", "espcn_thick")):
+        d = root / "model" / name
+        if not d.exists():
+            continue
+        if name == "esrgan_lite":
+            from bicubic_interpolation_model_tpu.models.esrgan import (
+                ESRGANLite)
+            model = ESRGANLite(scale=SCALE, features=64, growth=32,
+                               n_blocks=6)
+        else:
+            model = MODEL_ZOO[name](scale=SCALE)
+        template = model.init(jax.random.key(0),
+                              np.zeros((1, 8, 8, 3), np.float32))
+        params, _ = checkpoint.load(d, template)
+        per = chained_bench(
+            lambda x: _apply_direct(model, params, x[None])[0], lr_f)
+        ref = REFERENCE_MS[ref_key]
+        out[name] = {"ms_per_frame": per * 1e3,
+                     "gpix_per_s": out_pix_0020 / per / 1e9,
+                     "reference_ms": ref, "speedup": ref / (per * 1e3)}
+        print(name, out[name])
+
+    res = root / "results"
+    res.mkdir(exist_ok=True)
+    (res / "method_throughput.json").write_text(json.dumps(out, indent=2))
+    print(f"→ {res / 'method_throughput.json'}")
+
+
+if __name__ == "__main__":
+    main()

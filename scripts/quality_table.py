@@ -68,6 +68,21 @@ def main():
             p, _ = checkpoint.load(d, template)
             own[name] = (m, p, name)
 
+    # v1.0 / v2.0 MLP weight predictors (scripts/train_mlps.py)
+    mlps = []
+    from bicubic_interpolation_model_tpu.models.mlp_predictor import (
+        PatchMLP, PixelMLP, super_resolve_mlp)
+    for name, model, n_feat, include_off in [
+            ("patch-mlp", PatchMLP(), 64, False),
+            ("pixel-mlp", PixelMLP(), 66, True)]:
+        d = root / "model" / name
+        if d.exists():
+            import jax as _jax
+            template = model.init(_jax.random.key(0),
+                                  np.zeros((1, n_feat), np.float32))
+            p, _ = checkpoint.load(d, template)
+            mlps.append((name, model, p, include_off))
+
     results = []
     for image_id in IDS:
         hr = align_crop(imageio.load_rgba(REF / "cp_image" / "hr_images"
@@ -92,6 +107,9 @@ def main():
                 sr3 = np.asarray(super_resolve_direct(m, p, lr[..., :3]))
                 rebuilds[name] = np.concatenate(
                     [sr3, np.full(sr3.shape[:2] + (1,), 255, np.uint8)], -1)
+        for (name, m, p, include_off) in mlps:
+            rebuilds[name] = np.asarray(super_resolve_mlp(
+                m, p, lr, scale=SCALE, include_offsets=include_off))
 
         for method, sr in rebuilds.items():
             met = compare_images(hr, sr)
