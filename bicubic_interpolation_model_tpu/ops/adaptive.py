@@ -163,13 +163,22 @@ def _adaptive_resize_u8(img, scale: int, a: float):
     return round_u8(out)
 
 
-def adaptive_resize(img_u8, scale: int, a: float = -0.5):
-    """Adaptive bicubic SR of an HWC uint8 image (integer scale)."""
+def adaptive_resize(img_u8, scale: int, a: float = -0.5, *,
+                    impl: str = "auto"):
+    """Adaptive bicubic SR of an HWC uint8 image (integer scale).
+
+    ``impl``: "auto" (fused Pallas kernel on TPU, jnp elsewhere),
+    "pallas", or "jnp"."""
     if float(scale) != int(scale) or scale < 1:
         raise ValueError("adaptive_resize requires an integer upscale factor")
     img = jnp.asarray(img_u8)
     if img.dtype != jnp.uint8:
         raise ValueError("adaptive_resize expects uint8 input")
+    if impl == "auto":
+        impl = "pallas" if jax.default_backend() == "tpu" else "jnp"
+    if impl == "pallas":
+        from .pallas_adaptive import adaptive_resize_pallas
+        return adaptive_resize_pallas(img, int(scale), float(a))
     return _adaptive_resize_u8(img, int(scale), float(a))
 
 

@@ -1,0 +1,58 @@
+"""Fused adaptive-bicubic Pallas kernel vs the float64 oracle (interpret
+mode on CPU; the same kernel is parity-gated on hardware by
+scripts/method_throughput.py)."""
+
+import numpy as np
+import pytest
+
+from bicubic_interpolation_model_tpu.core.oracle import adaptive_bicubic_oracle
+from bicubic_interpolation_model_tpu.ops.pallas_adaptive import (
+    adaptive_resize_pallas,
+)
+
+from conftest import random_image
+
+
+@pytest.mark.parametrize("hw", [(24, 16), (13, 11), (8, 40)])
+def test_adaptive_pallas_matches_oracle(rng, hw):
+    h, w = hw
+    img = random_image(rng, h, w)
+    want = adaptive_bicubic_oracle(img, 4.0).astype(np.int32)
+    got = np.asarray(
+        adaptive_resize_pallas(img, 4, step=8, wstep=16)).astype(np.int32)
+    assert got.shape == want.shape
+    assert np.abs(got - want).max() <= 1
+
+
+def test_adaptive_pallas_scale2(rng):
+    img = random_image(rng, 16, 12)
+    want = adaptive_bicubic_oracle(img, 2.0).astype(np.int32)
+    got = np.asarray(
+        adaptive_resize_pallas(img, 2, step=8, wstep=16)).astype(np.int32)
+    assert np.abs(got - want).max() <= 1
+
+
+def test_adaptive_pallas_matches_jnp_impl(rng):
+    """Both device impls agree bit-for-bit is not required (different fp
+    orders), but both must sit within 1 LSB of the oracle; also exercises
+    the adaptive_resize impl switch."""
+    from bicubic_interpolation_model_tpu.ops.adaptive import adaptive_resize
+    img = random_image(rng, 12, 20)
+    want = adaptive_bicubic_oracle(img, 4.0).astype(np.int32)
+    a = np.asarray(adaptive_resize(img, 4, impl="pallas")).astype(np.int32)
+    b = np.asarray(adaptive_resize(img, 4, impl="jnp")).astype(np.int32)
+    assert np.abs(a - want).max() <= 1
+    assert np.abs(b - want).max() <= 1
+
+
+def test_adaptive_pallas_planar_layout(rng):
+    from bicubic_interpolation_model_tpu.ops.pallas_adaptive import (
+        adaptive_resize_pallas,
+    )
+    img = random_image(rng, 8, 8)
+    hwc = np.asarray(adaptive_resize_pallas(img, 4, step=8, wstep=16))
+    pl_ = np.asarray(adaptive_resize_pallas(img, 4, step=8, wstep=16,
+                                            layout="planar"))
+    # [S, C, R, X] planar -> interleave == hwc
+    back = pl_[:, :, :32, :8].transpose(2, 3, 0, 1).reshape(32, 32, 4)
+    np.testing.assert_array_equal(back, hwc)

@@ -50,3 +50,27 @@ def test_phase_pallas_lanczos_window_param(rng):
     # and a=3 (default) differs from a=2 somewhere
     got3 = np.asarray(resize_phase_pallas(img, 4, "lanczos", step=8))
     assert (np.asarray(got) != got3).any()
+
+
+def test_planar_layout_matches_hwc(rng):
+    """layout='planar' + interleave_planar == the default HWC output
+    byte-for-byte (it is the same kernel, minus the device-side interleave)."""
+    from bicubic_interpolation_model_tpu.ops.pallas_phase import (
+        interleave_planar, resize_phase_pallas,
+    )
+    imgs = np.stack([random_image(rng, 19, 21) for _ in range(2)])
+    hwc = np.asarray(resize_phase_pallas(imgs, 4, "bicubic",
+                                         step=8, wstep=16))
+    planar = np.asarray(resize_phase_pallas(imgs, 4, "bicubic", step=8,
+                                            wstep=16, layout="planar"))
+    assert planar.shape[1] == 4              # column-phase planes
+    back = interleave_planar(planar, 19, 21, 4, 4)
+    np.testing.assert_array_equal(back, hwc)
+
+
+def test_planar_layout_rejects_unbatched(rng):
+    from bicubic_interpolation_model_tpu.ops.pallas_phase import (
+        resize_phase_pallas,
+    )
+    with pytest.raises(ValueError):
+        resize_phase_pallas(random_image(rng, 8, 8), 2, layout="planar")
