@@ -109,6 +109,15 @@ def bench_resize_ondevice(h, w, scale, method="bicubic", impl="pallas",
         def body(i, acc):
             x = img ^ i.astype(jnp.uint8)
             y = fn(x)
+            # Checksum choice matters (PERF_NOTES round 2, "checksum
+            # fusion"): a FULL integer sum is layout-invariant, so XLA may
+            # elide epilogue transposes entirely; a LINEARIZING consumer
+            # (y.reshape(-1)[::k]) forces a pathological gather (~10x the
+            # true cost). The strided sample below was validated against
+            # default-layout program-output timing (bench_program_output):
+            # 3.32 vs 3.16 ms/frame for bicubic 4x 1080p HWC — the fused
+            # transpose work that survives matches what a real program
+            # boundary pays.
             return acc + jnp.sum(y[::64, ::64].astype(jnp.int32))
         return jax.lax.fori_loop(0, k, body, jnp.int32(0))
 
@@ -132,6 +141,35 @@ def bench_resize_ondevice(h, w, scale, method="bicubic", impl="pallas",
         "out_mpix": out_pix / 1e6,
         "gpix_per_s": out_pix / per_frame / 1e9,
     }
+
+
+def bench_program_output(fn, img, ks=(2, 6), reps=3):
+    """Per-frame seconds when every frame is a DEFAULT-LAYOUT jit program
+    output — the cost a serving boundary actually pays (output buffers must
+    be materialized in default layout; nothing can be fusion-elided). A
+    fetched scalar checksum forces completion across the async TPU tunnel,
+    where block_until_ready returns early. Used to validate the chained-K
+    strided-checksum numbers (see `chained` in bench_resize_ondevice)."""
+    res = {}
+    for K in ks:
+        @jax.jit
+        def prog(img):
+            outs = [fn(img ^ jnp.uint8(k)) for k in range(K)]
+            cks = sum(jnp.sum(o.reshape(-1)[::65537].astype(jnp.int32))
+                      for o in outs)
+            return outs, cks
+
+        _, ck = prog(img)
+        int(np.asarray(ck))  # compile + settle
+        best = np.inf
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            _, ck = prog(img)
+            int(np.asarray(ck))
+            best = min(best, time.perf_counter() - t0)
+        res[K] = best
+    k0, k1 = ks
+    return max((res[k1] - res[k0]) / (k1 - k0), 1e-9)
 
 
 def bench_resize(h, w, scale, method="bicubic", impl="auto", c=4,

@@ -9,30 +9,35 @@ HW-resolution intermediates in HBM; this kernel keeps the whole computation
 (variance, region classes, modulation laws, 16-tap weighted sum,
 normalization, rounding) in VMEM per tile.
 
-Design (builds on the vR phase kernel's lab results):
+Round-2 "vA2" redesign (the first cut measured 0.73 GPix/s HWC / 2.0 planar
+— slower than the jnp path end-to-end; see docs/PERF_NOTES.md):
 
-* rows run at INTERLEAVED output-row resolution: the luma/pixel windows are
-  sublane-repeated by S, so output row r*S+py addresses everything through
-  static slices; the row-phase-dependent center values (luma at b+cy,
-  region masks) are selected with one host-built phase-mask blend;
-* channels are PLANAR inside the kernel ([C, H, W] u8 input prepass):
-  Mosaic cannot broadcast a [.., W] weight map over interleaved [.., W*C]
-  lanes (lane-dim repeats don't lower), but per-channel FMA planes are
-  plain [rows, wstep] arrays;
-* modulation maps F (laws + region select) depend only on the column-center
-  variant cx — NOT on the column phase px — so the S column planes share
-  S/2.. two map sets (16 taps x 2 variants instead of x S);
-* clamped-position tap weights and the center-tap positional-equality
-  exemption ride in per-axis HOST-built vectors (float64 math, exact JS
-  border semantics), interleaved/folded like the phase kernel's wrow/wcol;
-* column phases and channels stay planar in the kernel output
-  [S, C, rows, cols]; one XLA transpose interleaves them (layout="hwc"),
-  or layout="planar" skips it.
+* TWO-PHASE body. Phase A walks the 16 taps x (center-variant cy,cx)
+  combinations ONCE, evaluates the modulation law at LR-row resolution,
+  expands to interleaved output rows, folds the per-axis row weights in
+  (G1 = wy*F, G2 = (wy*eqy)*(1-F)) and parks the 2*16*n_cx maps in VMEM
+  scratch. Phase B then runs one column-phase plane at a time with only
+  FIVE live accumulators (4 channel accs + the weight sum) — the first cut
+  kept 10 live [rows, wstep] arrays across a 32-iteration loop and spilled
+  vregs exactly like the round-1 phase kernel's 16-plane stack did.
+* the modulation laws in min/max form (edge: min(1.5, 1 + d/100); flat:
+  max(0.5, 1 - d/30); texture: 0.8 + 0.4*exp(-d/20)) — 3 ops each instead
+  of the literal 1 + 0.5*min(1, d/50) chains.
+* channels are packed into one uint32 lane at the end of phase B
+  (v0 | v1<<8 | v2<<16 | v3<<24), so the kernel output is [S, R, X] u32 and
+  the HWC epilogue is a plain 3-D u32 transpose + bitcast — the first cut's
+  [S, C, R, X] u8 output needed a 4-D transpose with TWO size-4 minors,
+  which cost 2.4 ms at 0020 geometry (more than the kernel itself).
+* rows stay at interleaved output-row resolution via sublane repeat
+  (the vR phase-kernel trick); the row-phase-dependent center variant is
+  blended with one host-built phase mask; channels planar INSIDE the body
+  (lane-dim broadcasts don't lower) but interleaved in the output word.
 
 Edge handling: inputs are edge-REPLICATE padded (adaptive needs the clamped
 PIXEL VALUES — for luma diffs and the variance window — not just folded
 weights, so zero-padding + weight-folding as in the phase kernel is not
-enough).
+enough). Mosaic note: select() with BOOL VALUES fails (i8->i1 trunc) —
+region masks are carried as f32 and compared at use.
 """
 
 from __future__ import annotations
@@ -77,9 +82,11 @@ def _axis_vectors(n_in: int, scale: int, a: float):
 
 def _adaptive_kernel(wyi_ref, eqy_ref, wx_ref,
                      xa, xb, xc, xd, la, lb, lc, ld_,
-                     cy_ref, out_ref, *, scale, step, wstep, c):
+                     cy_ref, out_ref, fs_ref, *, scale, step, wstep, c):
     s = scale
     rows = step * s
+    n_cx = 2 if s > 1 else 1
+    cys = (0, 1) if s > 1 else (0,)
 
     def window(a_ref, b_ref, c_ref, d_ref, lead):
         top = jnp.concatenate([a_ref[lead], b_ref[lead][:, :_HALO]], axis=1)
@@ -100,25 +107,49 @@ def _adaptive_kernel(wyi_ref, eqy_ref, wx_ref,
             sm = v if sm is None else sm + v
             sq = v * v if sq is None else sq + v * v
     var = (sq - sm * sm / 25.0) / 25.0
-    # keep region masks as f32 0/1: Mosaic cannot select() BOOL VALUES
-    # (i8->i1 truncation is unsupported); comparisons at use sites are fine
+    # region masks as f32 0/1 (Mosaic cannot select() BOOL VALUES)
     is_flat = (var < 10.0).astype(jnp.float32)
     is_edge = (var > 50.0).astype(jnp.float32)
 
-    # interleaved-row repeats + row-phase (cy) selection
     cym = cy_ref[:, 0][:, None] > 0.5                 # [rows, 1] bool
-    lrep = jnp.repeat(lwin, s, axis=0)
 
-    def rowsel_f(rep, off):
-        a0 = rep[off * s:off * s + rows]
-        a1 = rep[(off + 1) * s:(off + 1) * s + rows]
-        return jnp.where(cym, a1, a0)
+    # ---- phase A: modulation maps, row weights folded in, to scratch ----
+    # fs[( g2, cx, n, m )] with linear index ((g*n_cx + cx)*4 + n)*4 + m
+    # G1 = wy * F (interleaved rows), G2 = (wy*eqy) * (1 - F).
+    wy_n = [wyi_ref[:, n][:, None] for n in range(4)]
+    wye_n = [eqy_ref[:, n][:, None] for n in range(4)]
+    variants = []                                     # per cx: (cl, fl, ed)
+    for cx in range(n_cx):
+        per_cy = []
+        for cy in cys:
+            cl = lwin[2 + cy:2 + cy + step, 2 + cx:2 + cx + wstep]
+            fl = is_flat[cy:cy + step, cx:cx + wstep]
+            ed = is_edge[cy:cy + step, cx:cx + wstep]
+            per_cy.append((cl, fl > 0.5, ed > 0.5))
+        variants.append(per_cy)
 
-    frep = jnp.repeat(is_flat, s, axis=0)
-    erep = jnp.repeat(is_edge, s, axis=0)
-    flat_r = rowsel_f(frep, 0)                        # [rows, wstep+1]
-    edge_r = rowsel_f(erep, 0)
-    cl_r = rowsel_f(lrep, 2)                          # [rows, wstep+5]
+    # m outer so the expensive LANE-shifted column slice happens 4x, with
+    # the 16 (n, cx) bodies reading cheap sublane slices of it
+    for m in range(4):
+        lcol = lwin[:, m + 1:m + 1 + wstep]           # [step+5, wstep]
+        for n in range(4):
+            tl = lcol[n + 1:n + 1 + step]
+            for cx in range(n_cx):
+                f_by_cy = []
+                for k, cy in enumerate(cys):
+                    cl, flm, edm = variants[cx][k]
+                    ldm = jnp.abs(cl - tl)
+                    edge_f = jnp.minimum(1.5, 1.0 + ldm * 0.01)
+                    flat_f = jnp.maximum(0.5, 1.0 - ldm * (1.0 / 30.0))
+                    text_f = 0.8 + 0.4 * jnp.exp(ldm * (-1.0 / 20.0))
+                    f = jnp.where(edm, edge_f,
+                                  jnp.where(flm, flat_f, text_f))
+                    f_by_cy.append(jnp.repeat(f, s, axis=0))  # [rows, wstep]
+                fexp = (jnp.where(cym, f_by_cy[1], f_by_cy[0])
+                        if len(cys) == 2 else f_by_cy[0])
+                base = (cx * 4 + n) * 4 + m
+                fs_ref[base] = wy_n[n] * fexp
+                fs_ref[n_cx * 16 + base] = wye_n[n] * (1.0 - fexp)
 
     # channel windows at interleaved-row resolution
     xreps = []
@@ -127,55 +158,35 @@ def _adaptive_kernel(wyi_ref, eqy_ref, wx_ref,
         xw = xw.astype(jnp.int32).astype(jnp.float32)
         xreps.append(jnp.repeat(xw, s, axis=0))
 
-    # accumulation, cx-variant outer / tap outer / plane inner:
-    # each modulation map F is computed ONCE, used immediately by the two
-    # column planes that share its center variant, and released — at most
-    # one F is live (the first cut of this kernel kept 32 alive and spilled,
-    # measuring 1.7 GPix/s; see docs/PERF_NOTES.md). The positional
-    # exemption enters as wgt = wy*wx*F + (wy*eqy)x(wx*eqx)*(1-F), with the
-    # eq-folded vectors premultiplied on the HOST (wxe rows of wx_ref hold
-    # wx*eqx at offset 4*S).
-    planes_of = {0: [p for p in range(s) if p / s < 0.5],
-                 1: [p for p in range(s) if p / s >= 0.5]}
-    for cx in (0, 1):
-        cl = cl_r[:, 2 + cx:2 + cx + wstep]
-        fl = flat_r[:, cx:cx + wstep]
-        ed = edge_r[:, cx:cx + wstep]
-        edm = ed > 0.5
-        flm = fl > 0.5
-        pxs = planes_of[cx]
-        accs = {px: [None] * c for px in pxs}
-        wsums = {px: None for px in pxs}
-        for n in range(4):
-            tl_rows = lrep[(n + 1) * s:(n + 1) * s + rows]
-            wyv = wyi_ref[:, n][:, None]               # [rows, 1]
-            wyev = eqy_ref[:, n][:, None]              # host-folded wy*eqy
-            for m in range(4):
-                ldm = jnp.abs(cl - tl_rows[:, m + 1:m + 1 + wstep])
-                edge_f = 1.0 + 0.5 * jnp.minimum(1.0, ldm * (1.0 / 50.0))
-                flat_f = jnp.maximum(0.5, 1.0 - ldm * (1.0 / 30.0))
-                text_f = 0.8 + 0.4 * jnp.exp(ldm * (-1.0 / 20.0))
-                f = jnp.where(edm, edge_f, jnp.where(flm, flat_f, text_f))
-                wyf = wyv * f                          # shared by the planes
-                wyg = wyev * (1.0 - f)
-                taps = [xreps[ch][(n + 1) * s:(n + 1) * s + rows,
-                                  m + 1:m + 1 + wstep] for ch in range(c)]
-                for px in pxs:
-                    wxv = wx_ref[px * 4 + m:px * 4 + m + 1, :]
-                    wxev = wx_ref[(s + px) * 4 + m:(s + px) * 4 + m + 1, :]
-                    wgt = wyf * wxv + wyg * wxev
-                    wsums[px] = wgt if wsums[px] is None \
-                        else wsums[px] + wgt
-                    for ch in range(c):
-                        t = wgt * taps[ch]
-                        accs[px][ch] = t if accs[px][ch] is None \
-                            else accs[px][ch] + t
-        for px in pxs:
-            rec = 1.0 / wsums[px]
-            for ch in range(c):
-                v = accs[px][ch] * rec + 0.5
-                out_ref[px, ch] = jnp.clip(
-                    v.astype(jnp.int32), 0, 255).astype(jnp.uint8)
+    # ---- phase B: one column-phase plane at a time (5 live accs); m outer
+    # so each channel window is lane-shifted 4x and tap reads are sublane
+    # slices of the shifted copy ----
+    for px in range(s):
+        cx = 1 if (n_cx == 2 and px / s >= 0.5) else 0
+        wsum = None
+        accs = [None] * c
+        for m in range(4):
+            xcols = [xreps[ch][:, m + 1:m + 1 + wstep] for ch in range(c)]
+            wxv = wx_ref[px * 4 + m:px * 4 + m + 1, :]
+            wxev = wx_ref[(s + px) * 4 + m:(s + px) * 4 + m + 1, :]
+            for n in range(4):
+                base = (cx * 4 + n) * 4 + m
+                g1 = fs_ref[base]
+                g2 = fs_ref[n_cx * 16 + base]
+                wgt = g1 * wxv + g2 * wxev
+                wsum = wgt if wsum is None else wsum + wgt
+                for ch in range(c):
+                    tap = xcols[ch][(n + 1) * s:(n + 1) * s + rows]
+                    t = wgt * tap
+                    accs[ch] = t if accs[ch] is None else accs[ch] + t
+        rec = 1.0 / wsum
+        packed = None
+        for ch in range(c):
+            v = jnp.clip((accs[ch] * rec + 0.5).astype(jnp.int32),
+                         0, 255).astype(jnp.uint32)
+            word = v if ch == 0 else (v << (8 * ch))
+            packed = word if packed is None else packed | word
+        out_ref[px] = packed
 
 
 @functools.partial(jax.jit, static_argnames=("scale", "a", "step", "wstep",
@@ -186,6 +197,7 @@ def _adaptive_resize_pallas(img, scale: int, a: float, step: int, wstep: int,
     s = int(scale)
     n_i = _round_up(h, step) // step
     n_j = _round_up(w, wstep) // wstep
+    n_cx = 2 if s > 1 else 1
 
     wyi_np, eqy_np = _axis_vectors(h, s, a)
     wxi_np, eqx_np = _axis_vectors(w, s, a)
@@ -239,30 +251,54 @@ def _adaptive_resize_pallas(img, scale: int, a: float, step: int, wstep: int,
             pl.BlockSpec((step * s, 8), lambda i, j: (i, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((s, c, step * s, wstep),
-                               lambda i, j: (0, 0, i, j),
+        out_specs=pl.BlockSpec((s, step * s, wstep),
+                               lambda i, j: (0, i, j),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct(
-            (s, c, n_i * step * s, n_j * wstep), jnp.uint8),
+            (s, n_i * step * s, n_j * wstep), jnp.uint32),
+        scratch_shapes=[
+            pltpu.VMEM((2 * n_cx * 16, step * s, wstep), jnp.float32)],
         interpret=interpret,
     )(wyi, wye, wx, xp, xp, xp, xp, lp, lp, lp, lp, cym)
     if layout == "planar":
         return out
-    # [S, C, R, X] -> [R, X, S, C] -> [R, X*S, C]
-    o = out[:, :, :h * s, :w].transpose(2, 3, 0, 1)
-    return o.reshape(h * s, w * s, c)
+    return unpack_planar(out, h, w, s, c)
+
+
+def unpack_planar(packed_u32, h: int, w: int, scale: int, c: int):
+    """[S, R_pad, X_pad] channel-packed u32 planar output → HWC uint8.
+
+    Word (px, r, X) holds the c channels of output pixel (r, X*S + px) as
+    little-endian bytes. Bitcast to u8 FIRST, then transpose: the resulting
+    [S, R, X, 4]u8 → [R, X, S, 4] transpose is the exact shape class XLA
+    handles best (the phase kernel's measured-fastest epilogue); the
+    u32-first ordering costs 2.7x more (docs/PERF_NOTES.md round 2).
+    """
+    s = int(scale)
+    bytes_ = jax.lax.bitcast_convert_type(packed_u32, jnp.uint8)
+    o = bytes_[:, :h * s, :w].transpose(1, 2, 0, 3)         # [hS, w, S, 4]
+    return o[..., :c].reshape(h * s, w * s, c)
 
 
 def adaptive_resize_pallas(img_u8, scale: int, a: float = -0.5, *,
                            step: int = 8, wstep: int = 256,
                            interpret: bool | None = None,
                            layout: str = "hwc"):
-    """Fused adaptive-bicubic SR of an HWC uint8 image (integer scale)."""
+    """Fused adaptive-bicubic SR of an HWC uint8 image (integer scale).
+
+    ``layout="planar"`` returns the kernel's native output — [S, R, X]
+    uint32 with the c channels packed little-endian in each word, rows
+    fully interleaved, column phase planar, spatial extents padded to the
+    tile grid; :func:`unpack_planar` materializes HWC.
+    """
     if float(scale) != int(scale) or scale < 1:
         raise ValueError("adaptive pallas path requires an integer upscale")
     img = jnp.asarray(img_u8)
     if img.dtype != jnp.uint8 or img.ndim != 3:
         raise ValueError("adaptive_resize_pallas expects HWC uint8")
+    if img.shape[-1] > 4:
+        raise ValueError("adaptive_resize_pallas packs channels into u32 "
+                         "words: c must be <= 4")
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     h, w = img.shape[:2]

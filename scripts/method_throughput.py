@@ -41,8 +41,12 @@ def chained_bench(fn, img, k_lo=3, k_hi=15, reps=2):
             x = img ^ i.astype(img.dtype) if img.dtype == jnp.uint8 \
                 else img + i.astype(img.dtype)
             y = fn(x)
+            # strided 2-D sample, validated against program-output timing
+            # (bench.suite `chained` comment / PERF_NOTES round 2). NOT
+            # reshape(-1): linearizing a transposed result forces a
+            # pathological gather (~10x the true boundary cost).
             return acc + jnp.sum(
-                y.reshape(-1)[::4097].astype(jnp.float32))
+                y[..., ::64, ::64].astype(jnp.float32))
         return jax.lax.fori_loop(0, k, body, jnp.float32(0))
 
     float(np.asarray(chained(img, 1)))
@@ -58,20 +62,39 @@ def chained_bench(fn, img, k_lo=3, k_hi=15, reps=2):
 
 
 def main():
+    import argparse
+
     import jax
     import jax.numpy as jnp
 
     from bicubic_interpolation_model_tpu.bench.suite import (
         bench_resize_ondevice, check_parity)
 
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--only", default="",
+                    help="comma list of sections to re-measure (classical,"
+                         "adaptive,learned,neural,rational); default all. "
+                         "Other sections keep their previous JSON rows.")
+    args = ap.parse_args()
+    sections = set(filter(None, args.only.split(","))) or {
+        "classical", "adaptive", "learned", "neural", "rational"}
+
     root = pathlib.Path(__file__).resolve().parents[1]
+    res = root / "results"
     on_tpu = jax.default_backend() == "tpu"
     impl = "pallas_phase" if on_tpu else "matmul"
     out = {}
+    prev_path = res / "method_throughput.json"
+    if prev_path.exists():
+        out = json.loads(prev_path.read_text())
     out_pix_0020 = (LR_H * SCALE) * (LR_W * SCALE)
 
+    def want(section):
+        return section in sections
+
     # ---- classical kernels at 1080p→4x (headline geometry) ----
-    for method in ("nearest", "bilinear", "lanczos", "bicubic"):
+    for method in ("nearest", "bilinear", "lanczos", "bicubic") \
+            if want("classical") else ():
         r = bench_resize_ondevice(1080, 1920, 4, method, impl=impl)
         d = check_parity(4, method, impl=impl, h=96, w=64)
         row = {"ms_per_frame": r["ms_per_frame"],
@@ -89,16 +112,51 @@ def main():
         rng.integers(0, 256, (LR_H, LR_W, 4), np.uint8))
 
     # ---- adaptive bicubic at the reference's 0020 geometry ----
-    from bicubic_interpolation_model_tpu.ops.adaptive import (
-        _adaptive_resize_u8)
-    per = chained_bench(lambda x: _adaptive_resize_u8(x, SCALE, -0.5), lr_u8)
-    out["adaptive_bicubic_0020"] = {
-        "ms_per_frame": per * 1e3,
-        "gpix_per_s": out_pix_0020 / per / 1e9,
-        "reference_ms": REFERENCE_MS["adaptive_bicubic"],
-        "speedup": REFERENCE_MS["adaptive_bicubic"] / (per * 1e3),
-    }
-    print("adaptive_bicubic_0020", out["adaptive_bicubic_0020"])
+    if want("adaptive"):
+        from bicubic_interpolation_model_tpu.ops.adaptive import (
+            adaptive_resize)
+        best = None
+        for aimpl in (("pallas", "jnp") if on_tpu else ("jnp",)):
+            per = chained_bench(
+                lambda x: adaptive_resize(x, SCALE, -0.5, impl=aimpl), lr_u8)
+            row = {
+                "ms_per_frame": per * 1e3,
+                "gpix_per_s": out_pix_0020 / per / 1e9,
+                "impl": aimpl,
+                "reference_ms": REFERENCE_MS["adaptive_bicubic"],
+                "speedup": REFERENCE_MS["adaptive_bicubic"] / (per * 1e3),
+            }
+            print("adaptive_bicubic_0020", row)
+            if best is None or row["gpix_per_s"] > best["gpix_per_s"]:
+                best = row
+        out["adaptive_bicubic_0020"] = best
+
+    # ---- rational (non-integer) scales at 1080p: phase vs matmul ----
+    if want("rational"):
+        from bicubic_interpolation_model_tpu.bench.suite import _make_input
+        from bicubic_interpolation_model_tpu.core.oracle import resize_oracle
+        from bicubic_interpolation_model_tpu.ops.resize import resize
+        for scale in (1.5, 2.5):
+            rows = {}
+            for rimpl in ("phase", "matmul"):
+                r = bench_resize_ondevice(1080, 1920, scale, "bicubic",
+                                          impl=rimpl)
+                small = _make_input(96, 64)
+                got = np.asarray(
+                    resize(small, scale, "bicubic", impl=rimpl),
+                    dtype=np.int64)
+                ref = resize_oracle(small, scale, "bicubic").astype(np.int64)
+                rows[rimpl] = {
+                    "ms_per_frame": r["ms_per_frame"],
+                    "gpix_per_s": r["gpix_per_s"],
+                    "max_u8_delta": int(np.abs(got - ref).max()),
+                }
+                print(f"bicubic_{scale}x_{rimpl}", rows[rimpl])
+            out[f"bicubic_{scale}x_1080p"] = {
+                "geometry": f"1080p->{scale}x", **rows["phase"],
+                "impl": "phase",
+                "matmul_gpix_per_s": rows["matmul"]["gpix_per_s"],
+            }
 
     # ---- learned weight-predictor paths (fused predict+apply) ----
     from bicubic_interpolation_model_tpu.evaluation.model_analysis import (
@@ -109,6 +167,8 @@ def main():
     wp_dirs = {"ref_1e-3-30": "/root/reference/version3.0/model/1e-3-30"}
     for d in sorted((root / "model").glob("wp-*")):
         wp_dirs[d.name] = str(d)
+    if not want("learned"):
+        wp_dirs = {}
     for name, d in wp_dirs.items():
         model, params = _load_model_any(d)
         per = chained_bench(
@@ -131,7 +191,7 @@ def main():
                           ("espcn_thick", "espcn_thick"),
                           ("esrgan_lite", "espcn_thick")):
         d = root / "model" / name
-        if not d.exists():
+        if not d.exists() or not want("neural"):
             continue
         if name == "esrgan_lite":
             from bicubic_interpolation_model_tpu.models.esrgan import (

@@ -48,11 +48,11 @@ def test_adaptive_pallas_matches_jnp_impl(rng):
 def test_adaptive_pallas_planar_layout(rng):
     from bicubic_interpolation_model_tpu.ops.pallas_adaptive import (
         adaptive_resize_pallas,
+        unpack_planar,
     )
     img = random_image(rng, 8, 8)
     hwc = np.asarray(adaptive_resize_pallas(img, 4, step=8, wstep=16))
-    pl_ = np.asarray(adaptive_resize_pallas(img, 4, step=8, wstep=16,
-                                            layout="planar"))
-    # [S, C, R, X] planar -> interleave == hwc
-    back = pl_[:, :, :32, :8].transpose(2, 3, 0, 1).reshape(32, 32, 4)
+    pl_ = adaptive_resize_pallas(img, 4, step=8, wstep=16, layout="planar")
+    assert pl_.dtype == np.uint32          # channel-packed words
+    back = np.asarray(unpack_planar(pl_, 8, 8, 4, 4))
     np.testing.assert_array_equal(back, hwc)
