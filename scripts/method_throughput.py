@@ -113,16 +113,32 @@ def main():
 
     # ---- adaptive bicubic at the reference's 0020 geometry ----
     if want("adaptive"):
+        from bicubic_interpolation_model_tpu.bench.suite import (
+            bench_program_output)
         from bicubic_interpolation_model_tpu.ops.adaptive import (
             adaptive_resize)
         best = None
         for aimpl in (("pallas", "jnp") if on_tpu else ("jnp",)):
-            per = chained_bench(
-                lambda x: adaptive_resize(x, SCALE, -0.5, impl=aimpl), lr_u8)
+            if aimpl == "pallas":
+                # planar is the serving layout (kernel output, fully
+                # materialized by pallas); HWC is a u32→u8 layout boundary
+                # — report its honest program-output cost separately
+                from bicubic_interpolation_model_tpu.ops.pallas_adaptive \
+                    import adaptive_resize_pallas
+                fn = lambda x: adaptive_resize_pallas(
+                    x, SCALE, -0.5, layout="planar")
+                fn_hwc = lambda x: adaptive_resize_pallas(x, SCALE, -0.5)
+            else:
+                fn = fn_hwc = lambda x: adaptive_resize(
+                    x, SCALE, -0.5, impl=aimpl)
+            per = chained_bench(fn, lr_u8)
             row = {
                 "ms_per_frame": per * 1e3,
                 "gpix_per_s": out_pix_0020 / per / 1e9,
                 "impl": aimpl,
+                "layout": "planar_u32" if aimpl == "pallas" else "hwc",
+                "hwc_program_output_ms":
+                    bench_program_output(fn_hwc, lr_u8) * 1e3,
                 "reference_ms": REFERENCE_MS["adaptive_bicubic"],
                 "speedup": REFERENCE_MS["adaptive_bicubic"] / (per * 1e3),
             }
@@ -130,6 +146,34 @@ def main():
             if best is None or row["gpix_per_s"] > best["gpix_per_s"]:
                 best = row
         out["adaptive_bicubic_0020"] = best
+        # headline geometry for the adaptive kernel as well
+        lr_1080 = jax.device_put(
+            rng.integers(0, 256, (1080, 1920, 4), np.uint8)) \
+            if on_tpu else None
+        if on_tpu:
+            from bicubic_interpolation_model_tpu.core.oracle import (
+                adaptive_bicubic_oracle)
+            from bicubic_interpolation_model_tpu.ops.pallas_adaptive \
+                import adaptive_resize_pallas
+            per = chained_bench(
+                lambda x: adaptive_resize_pallas(
+                    x, 4, -0.5, layout="planar"), lr_1080)
+            # on-hardware parity at a geometry spanning BOTH tile axes
+            # (h > step, w > wstep)
+            pimg = rng.integers(0, 256, (40, 600, 4), np.uint8)
+            pwant = adaptive_bicubic_oracle(pimg, 4.0).astype(np.int64)
+            pgot = np.asarray(adaptive_resize_pallas(
+                jax.device_put(pimg), 4, -0.5)).astype(np.int64)
+            delta = int(np.abs(pgot - pwant).max())
+            out["adaptive_bicubic_0020"]["max_u8_delta_tpu"] = delta
+            out["adaptive_bicubic_1080p"] = {
+                "ms_per_frame": per * 1e3,
+                "gpix_per_s": 1080 * 1920 * 16 / per / 1e9,
+                "impl": "pallas", "layout": "planar_u32",
+                "geometry": "1080p->4x",
+                "max_u8_delta_tpu": delta,
+            }
+            print("adaptive_bicubic_1080p", out["adaptive_bicubic_1080p"])
 
     # ---- rational (non-integer) scales at 1080p: phase vs matmul ----
     if want("rational"):
