@@ -183,43 +183,41 @@ def _adaptive_kernel(wy_ref, wye_ref, wx_ref,
         out_ref[px] = jnp.stack(qplanes, axis=1).reshape(step * s, wstep)
 
 
-@functools.partial(jax.jit, static_argnames=("scale", "a", "step", "wstep",
-                                             "interpret", "layout"))
-def _adaptive_resize_pallas(img, scale: int, a: float, step: int, wstep: int,
-                            interpret: bool, layout: str = "hwc"):
-    h, w, c = img.shape
-    s = int(scale)
-    n_i = _round_up(h, step) // step
-    n_j = _round_up(w, wstep) // wstep
-    n_cx = 2 if s > 1 else 1
-    n_cy = 2 if s > 1 else 1
-
+def row_vectors(h: int, s: int, a: float, pad_to: int):
+    """Host row-weight arrays for ABSOLUTE rows 0..h: ([h_pad, S*4] wy,
+    [h_pad, S*4] wy*eqy), rows in sublanes, lane q*4+n. Exact border clamp
+    semantics for image height ``h`` are baked in; trailing pad rows are
+    edge copies (their outputs are discarded)."""
     wy_np, eqy_np = _axis_vectors(h, s, a)
-    wx_np, eqx_np = _axis_vectors(w, s, a)
-    pad_rows = n_i * step - h
-    # row weights land in SUBLANES: [rows, S*4], col q*4+n
+
     def rowmajor(v):
-        return jnp.asarray(np.pad(v.reshape(h, s * 4),
-                                  ((0, pad_rows), (0, 0)), mode="edge"))
-    wy = rowmajor(wy_np)
-    wye = rowmajor(wy_np * eqy_np)   # exemption premultiplied: wye = wy*eqy
-    # column vectors phase-major in LANES: [S*4, n_cols]; wx and wx*eqx
+        return np.pad(v.reshape(h, s * 4), ((0, pad_to - h), (0, 0)),
+                      mode="edge")
+    return rowmajor(wy_np), rowmajor(wy_np * eqy_np)
+
+
+def col_vectors(w: int, s: int, a: float, pad_to: int):
+    """Host column-weight array [2*S*4, w_pad]: wx phase-major in lanes,
+    stacked over the eq-folded wx*eqx."""
+    wx_np, eqx_np = _axis_vectors(w, s, a)
+
     def colmajor(v):
         out = v.reshape(w, s * 4).T
-        return np.pad(out, ((0, 0), (0, n_j * wstep - w)), mode="edge")
-    wx = jnp.asarray(np.concatenate(
-        [colmajor(wx_np), colmajor(wx_np * eqx_np)], axis=0))
+        return np.pad(out, ((0, 0), (0, pad_to - w)), mode="edge")
+    return np.concatenate([colmajor(wx_np), colmajor(wx_np * eqx_np)],
+                          axis=0)
 
-    xf = img.astype(jnp.float32)
-    luma = (xf[..., 0] * 0.2126 + xf[..., 1] * 0.7152 + xf[..., 2] * 0.0722)
-    # edge-replicate pads (adaptive needs clamped VALUES, not just weights)
-    xp = jnp.pad(jnp.transpose(img, (2, 0, 1)),
-                 ((0, 0), (_LEFT, (n_i + 1) * step - h - _LEFT),
-                  (_LEFT, (n_j + 1) * wstep - w - _LEFT)), mode="edge")
-    lp = jnp.pad(luma, ((_LEFT, (n_i + 1) * step - h - _LEFT),
-                        (_LEFT, (n_j + 1) * wstep - w - _LEFT)),
-                 mode="edge")[None]
 
+def _adaptive_dispatch(xp, lp, wy, wye, wx, *, s, step, wstep, c,
+                       n_i, n_j, interpret):
+    """The pallas call. ``xp`` [C, rows_pad, cols_pad] u8 and ``lp``
+    [1, rows_pad, cols_pad] f32 carry ``_LEFT`` leading halo rows/cols and
+    enough trailing rows/cols for the (i+1, j+1) halo blocks; the weight
+    arrays are DATA (may be traced/sharded), so one compiled program per
+    (shape, s, step, wstep) serves any geometry — including per-band calls
+    under shard_map (parallel/spatial.py)."""
+    n_cx = 2 if s > 1 else 1
+    n_cy = 2 if s > 1 else 1
     kernel = functools.partial(_adaptive_kernel, scale=s, step=step,
                                wstep=wstep, c=c)
     x_spec = lambda di, dj: pl.BlockSpec(
@@ -228,7 +226,7 @@ def _adaptive_resize_pallas(img, scale: int, a: float, step: int, wstep: int,
     l_spec = lambda di, dj: pl.BlockSpec(
         (1, step, wstep), lambda i, j: (0, i + di, j + dj),
         memory_space=pltpu.VMEM)
-    out = pl.pallas_call(
+    return pl.pallas_call(
         kernel,
         grid=(n_i, n_j),
         in_specs=[
@@ -250,6 +248,33 @@ def _adaptive_resize_pallas(img, scale: int, a: float, step: int, wstep: int,
             pltpu.VMEM((16 * n_cx * n_cy, step, wstep), jnp.float32)],
         interpret=interpret,
     )(wy, wye, wx, xp, xp, xp, xp, lp, lp, lp, lp)
+
+
+@functools.partial(jax.jit, static_argnames=("scale", "a", "step", "wstep",
+                                             "interpret", "layout"))
+def _adaptive_resize_pallas(img, scale: int, a: float, step: int, wstep: int,
+                            interpret: bool, layout: str = "hwc"):
+    h, w, c = img.shape
+    s = int(scale)
+    n_i = _round_up(h, step) // step
+    n_j = _round_up(w, wstep) // wstep
+
+    wy_np, wye_np = row_vectors(h, s, a, n_i * step)
+    wy, wye = jnp.asarray(wy_np), jnp.asarray(wye_np)
+    wx = jnp.asarray(col_vectors(w, s, a, n_j * wstep))
+
+    xf = img.astype(jnp.float32)
+    luma = (xf[..., 0] * 0.2126 + xf[..., 1] * 0.7152 + xf[..., 2] * 0.0722)
+    # edge-replicate pads (adaptive needs clamped VALUES, not just weights)
+    xp = jnp.pad(jnp.transpose(img, (2, 0, 1)),
+                 ((0, 0), (_LEFT, (n_i + 1) * step - h - _LEFT),
+                  (_LEFT, (n_j + 1) * wstep - w - _LEFT)), mode="edge")
+    lp = jnp.pad(luma, ((_LEFT, (n_i + 1) * step - h - _LEFT),
+                        (_LEFT, (n_j + 1) * wstep - w - _LEFT)),
+                 mode="edge")[None]
+    out = _adaptive_dispatch(xp, lp, wy, wye, wx, s=s, step=step,
+                             wstep=wstep, c=c, n_i=n_i, n_j=n_j,
+                             interpret=interpret)
     if layout == "planar":
         return out
     return unpack_planar(out, h, w, s, c)

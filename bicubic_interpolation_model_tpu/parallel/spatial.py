@@ -100,6 +100,127 @@ def _resize_spatial(img_hwc, scale, method, a, mesh, axis, lanczos_a=3):
     return out.astype(in_dtype)
 
 
+_ADAPTIVE_HALO_UP = 2     # tap/variance reach above the base row
+_ADAPTIVE_HALO_DOWN = 3   # center row can be b+1; variance reaches b+3
+
+
+@functools.partial(jax.jit, static_argnames=("scale", "a", "mesh", "axis",
+                                             "step", "wstep", "interpret"))
+def _adaptive_spatial(img_hwc, scale, a, mesh, axis, step, wstep, interpret):
+    from ..ops import pallas_adaptive as pa
+
+    h, w, c = img_hwc.shape
+    s = int(scale)
+    n = mesh.shape[axis]
+    hb = h // n                       # band height (LR rows per shard)
+    step_eff = min(step, _round_up_8(hb))
+    wstep_eff = min(wstep, -(-w // 128) * 128)
+    n_i = -(-hb // step_eff)
+    n_j = -(-w // wstep_eff)
+
+    # ABSOLUTE per-row geometry for the full image, sharded with the rows:
+    # border clamp semantics only at the true image borders
+    wy_np, wye_np = pa.row_vectors(h, s, a, n * (n_i * step_eff))
+    # row_vectors pads at the END; per-band padding must pad each band, so
+    # rebuild band-major: [n, n_i*step_eff, S*4]
+    wy_b = np.stack([np.pad(wy_np[i * hb:(i + 1) * hb],
+                            ((0, n_i * step_eff - hb), (0, 0)), mode="edge")
+                     for i in range(n)])
+    wye_b = np.stack([np.pad(wye_np[i * hb:(i + 1) * hb],
+                             ((0, n_i * step_eff - hb), (0, 0)), mode="edge")
+                      for i in range(n)])
+    wy_all = jnp.asarray(wy_b.reshape(n * n_i * step_eff, s * 4))
+    wye_all = jnp.asarray(wye_b.reshape(n * n_i * step_eff, s * 4))
+    wx = jnp.asarray(pa.col_vectors(w, s, a, n_j * wstep_eff))
+
+    up, down = _ADAPTIVE_HALO_UP, _ADAPTIVE_HALO_DOWN
+    trail = (n_i + 1) * step_eff - hb - up   # window rows below band start
+
+    def body(x_local, wy_l, wye_l):
+        ix = jax.lax.axis_index(axis)
+        perm_down = [(j, j + 1) for j in range(n - 1)]
+        perm_up = [(j + 1, j) for j in range(n - 1)]
+        top = jax.lax.ppermute(x_local[-up:], axis, perm_down)
+        bot = jax.lax.ppermute(x_local[:down], axis, perm_up)
+        # true image borders: adaptive needs REPLICATED values, and the
+        # edge shards' ppermute results are zero-filled — overwrite them
+        top = jnp.where(ix == 0,
+                        jnp.broadcast_to(x_local[:1], top.shape), top)
+        bot = jnp.where(ix == n - 1,
+                        jnp.broadcast_to(x_local[-1:], bot.shape), bot)
+        xb = jnp.concatenate([top, x_local, bot], axis=0)  # [hb+5, W, C]
+        xf = xb.astype(jnp.float32)
+        luma = (xf[..., 0] * 0.2126 + xf[..., 1] * 0.7152
+                + xf[..., 2] * 0.0722)
+        # columns: replicate-pad as in the single-chip path; rows: the real
+        # halos are in place, pad the remaining trailing window rows
+        xp = jnp.pad(jnp.transpose(xb, (2, 0, 1)),
+                     ((0, 0), (0, trail - down),
+                      (_ADAPTIVE_HALO_UP, (n_j + 1) * wstep_eff - w
+                       - _ADAPTIVE_HALO_UP)), mode="edge")
+        lp = jnp.pad(luma, ((0, trail - down),
+                            (_ADAPTIVE_HALO_UP, (n_j + 1) * wstep_eff - w
+                             - _ADAPTIVE_HALO_UP)), mode="edge")[None]
+        out = pa._adaptive_dispatch(
+            xp, lp, wy_l, wye_l, wx, s=s, step=step_eff, wstep=wstep_eff,
+            c=c, n_i=n_i, n_j=n_j, interpret=interpret)
+        return out[:, :hb * s, :]      # drop pad rows inside the shard
+
+    return shard_map(
+        body, mesh=mesh,
+        in_specs=(P(axis, None, None), P(axis, None), P(axis, None)),
+        out_specs=P(None, axis, None),
+        # pallas_call's out_shape carries no varying-mesh-axes annotation
+        check_vma=False,
+    )(img_hwc, wy_all, wye_all)
+
+
+def _round_up_8(v):
+    return -(-v // 8) * 8
+
+
+def adaptive_resize_spatial_sharded(img, scale, *, mesh: Mesh,
+                                    axis: str = "spatial", a: float = -0.5,
+                                    step: int = 16, wstep: int = 512,
+                                    interpret: bool | None = None,
+                                    layout: str = "hwc"):
+    """Adaptive-bicubic SR of one HWC uint8 frame with its LR rows band-
+    sharded over ``mesh[axis]`` — the fused Pallas kernel runs per band.
+
+    Bands exchange a 2-up/3-down row halo of PIXEL VALUES via
+    ``jax.lax.ppermute`` (the adaptive interpolator needs its neighbors'
+    luma for the contrast modulation and the 5x5 variance window — weights
+    alone can't carry the halo as in the separable kernels), while the
+    per-row weight/exemption vectors are built for ABSOLUTE row positions
+    and sharded alongside, so true-border clamp semantics survive the
+    split. Bit-identical to the single-chip kernel (tested on the 8-device
+    CPU mesh).
+
+    Returns the planar packed-u32 layout [S, H*S, W_pad] (``layout=
+    "planar"``) or HWC uint8.
+    """
+    if float(scale) != int(scale) or scale < 1:
+        raise ValueError("adaptive spatial sharding requires an integer "
+                         "upscale")
+    img = jnp.asarray(img)
+    if img.dtype != jnp.uint8 or img.ndim != 3 or img.shape[-1] > 4:
+        raise ValueError("expected HWC uint8 with c <= 4")
+    n = mesh.shape[axis]
+    h, w = img.shape[:2]
+    if h % n:
+        raise ValueError(f"H={h} not divisible by {n} shards")
+    if h // n < _ADAPTIVE_HALO_DOWN:
+        raise ValueError("bands must be at least 3 rows tall")
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    out = _adaptive_spatial(img, int(scale), float(a), mesh, axis,
+                            int(step), int(wstep), bool(interpret))
+    if layout == "planar":
+        return out
+    from ..ops.pallas_adaptive import unpack_planar
+    return unpack_planar(out, h, w, int(scale), img.shape[-1])
+
+
 def resize_spatial_sharded(img, scale, method: str = "bicubic", *,
                            mesh: Mesh, axis: str = "spatial",
                            a: float = -0.5, lanczos_a: int = 3):

@@ -128,3 +128,38 @@ def test_multihost_two_process_smoke():
         assert p.returncode == 0, f"worker {i} failed:\n{out}"
     for i in range(2):
         assert f"WORKER_OK {i}" in outs[i]
+
+
+@pytest.mark.parametrize("n_spatial", [2, 4])
+def test_adaptive_spatial_sharded_bit_identical(rng, n_spatial):
+    """Band-sharded adaptive kernel (pixel-value halos via ppermute,
+    absolute row geometry sharded alongside) is BIT-identical to the
+    single-chip fused kernel, and ±1 LSB vs the float64 oracle."""
+    from bicubic_interpolation_model_tpu.core.oracle import (
+        adaptive_bicubic_oracle)
+    from bicubic_interpolation_model_tpu.ops.pallas_adaptive import (
+        adaptive_resize_pallas)
+    from bicubic_interpolation_model_tpu.parallel.spatial import (
+        adaptive_resize_spatial_sharded)
+
+    mesh = make_mesh(n_spatial, spatial=n_spatial)
+    img = random_image(rng, 16, 20)
+    sharded = np.asarray(adaptive_resize_spatial_sharded(
+        img, 4, mesh=mesh)).astype(np.int64)
+    single = np.asarray(adaptive_resize_pallas(
+        img, 4, step=16, wstep=512)).astype(np.int64)
+    np.testing.assert_array_equal(sharded, single)
+    want = adaptive_bicubic_oracle(img, 4.0).astype(np.int64)
+    assert np.abs(sharded - want).max() <= 1
+
+
+def test_adaptive_spatial_sharded_validation():
+    from bicubic_interpolation_model_tpu.parallel.spatial import (
+        adaptive_resize_spatial_sharded)
+    mesh = make_mesh(4, spatial=4)
+    with pytest.raises(ValueError):
+        adaptive_resize_spatial_sharded(
+            np.zeros((18, 16, 4), np.uint8), 4, mesh=mesh)  # 18 % 4 != 0
+    with pytest.raises(ValueError):
+        adaptive_resize_spatial_sharded(
+            np.zeros((16, 16, 4), np.uint8), 1.5, mesh=mesh)
