@@ -46,8 +46,15 @@ class Upscaler:
         self._weight_cache: dict = {}
 
     def _fn(self):
-        from .ops.resize import resize
         scale, method, impl, a = self.scale, self.method, self.impl, self.a
+        if method == "adaptive":
+            from .ops.adaptive import adaptive_resize
+            aimpl = "auto" if impl in ("auto", "pallas_phase") else impl
+
+            def f(img):
+                return adaptive_resize(img, int(scale), a=a, impl=aimpl)
+            return f
+        from .ops.resize import resize
 
         def f(img):
             return resize(img, scale, method, impl=impl, a=a)
@@ -57,7 +64,8 @@ class Upscaler:
         img = np.asarray(img_u8)
         h, w = img.shape[:2]
         s = int(self.scale)
-        if float(self.scale) == s and self.impl in ("auto", "pallas_phase"):
+        if float(self.scale) == s and self.method != "adaptive" \
+                and self.impl in ("auto", "pallas_phase"):
             from .ops.pallas_phase import resize_phase_pallas_bucketed
             out = resize_phase_pallas_bucketed(
                 img, s, self.method, bucket=self.bucket, a=self.a,
@@ -75,10 +83,15 @@ class Upscaler:
         """[B, H, W, C] same-size images in one kernel launch."""
         from .ops.pallas_phase import resize_phase_pallas
         if self.impl in ("auto", "pallas_phase") \
+                and self.method != "adaptive" \
                 and jax.default_backend() == "tpu" \
                 and float(self.scale) == int(self.scale):
             out = resize_phase_pallas(imgs_u8, int(self.scale), self.method,
                                       a=self.a)
+        elif self.method == "adaptive":
+            import jax.numpy as jnp
+            fn = self._fn()
+            out = jnp.stack([fn(im) for im in jnp.asarray(imgs_u8)])
         else:
             from .ops.resize import resize_batch
             out = resize_batch(imgs_u8, self.scale, self.method,

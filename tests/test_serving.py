@@ -99,3 +99,23 @@ def test_upscaler_bucketed_methods(rng):
         img = random_image(rng, 11, 9)
         want = resize_oracle(img, 4.0, method).astype(np.int32)
         assert np.abs(up(img).astype(np.int32) - want).max() <= 1, method
+
+
+def test_upscaler_adaptive_method(rng):
+    """method='adaptive' routes to the adaptive interpolator (incl. under
+    bucket=..., which falls back to exact per-shape programs — the
+    non-separable kernel can't fold clamp semantics into plan weights)."""
+    from bicubic_interpolation_model_tpu.core.oracle import (
+        adaptive_bicubic_oracle)
+
+    img = random_image(rng, 10, 12)
+    want = adaptive_bicubic_oracle(img, 4.0).astype(np.int64)
+    for up in (Upscaler(scale=4, method="adaptive"),
+               Upscaler(scale=4, method="adaptive", bucket=16)):
+        got = up(img).astype(np.int64)
+        assert got.shape == want.shape
+        assert np.abs(got - want).max() <= 1
+    b = Upscaler(scale=4, method="adaptive").batch(
+        np.stack([img, img])).astype(np.int64)
+    assert b.shape == (2,) + want.shape
+    assert np.abs(b[0] - want).max() <= 1
