@@ -46,6 +46,105 @@ def _super_resolve_fused(model, params, lr_u8, scale, convention):
     return _apply_round(out).astype(jnp.uint8)
 
 
+_WP_LAYERS = ("conv_in", "conv_res", "upsample", "conv_att", "conv_off",
+              "conv_out")
+
+
+@functools.partial(jax.jit, static_argnames=("scale", "convention"))
+def _super_resolve_packed(params, lr_u8, scale, convention):
+    """The WeightPredictor forward in PHASE-PACKED layout — every tensor
+    stays at LR resolution with the S*S output phases packed into channels,
+    so elementwise ops and matmuls always see wide minor dims.
+
+    The round-1 path ran the post-upsample layers at SR resolution in NHWC
+    with 16-wide channels (an 8x-idle lane dim on TPU): 27.5 ms at 0020
+    geometry vs 7.0 ms packed (docs/PERF_NOTES.md round 2, "packed-phase
+    learned path"). Three structural moves:
+
+    * the transposed-conv upsample emits [B, h, w, S, S, 16] directly
+      (einsum; no SR-resolution pixel-shuffle transpose);
+    * ``conv_off`` collapses to a PER-PHASE CONSTANT [S, S, 16]: both
+      offset conventions are phase-periodic (dx depends only on x mod S —
+      ops/learned._axis_offsets), so the 1x1 conv of the offset map is S*S
+      vectors computed once;
+    * ``conv_out`` (3x3 at SR resolution) is phase-decomposed: output
+      phase (p, q) contracts 9 shifted LR slices of packed phase
+      (p+dy mod S, q+dx mod S) with the corresponding kernel taps.
+
+    Numerics: same ops in a different association order — agrees with the
+    flax forward to ~2e-3 in tanh-weight space (bf16-pass matmul rounding),
+    ≤1 u8 LSB after apply+round (tested).
+    """
+    from ..ops.learned import _axis_offsets, _apply_round
+
+    s = int(scale)
+    p = params["params"] if "params" in params else params
+    lr_f32 = lr_u8.astype(jnp.float32)
+    h, w, _ = lr_u8.shape
+
+    def conv(x, kp):
+        return jax.lax.conv_general_dilated(
+            x, kp["kernel"], (1, 1), "SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC")) + kp["bias"]
+
+    xf = (lr_f32 / 255.0)[None]
+    y = jax.nn.relu(conv(xf, p["conv_in"]))
+    y = y + conv(y, p["conv_res"])                        # [1, h, w, F]
+
+    up = jnp.einsum("byxi,pqoi->byxpqo", y, p["upsample"]["kernel"]) \
+        + p["upsample"]["bias"]                           # [1,h,w,S,S,16]
+    att = jax.nn.sigmoid(
+        jnp.einsum("byxpqo,oa->byxpqa", up, p["conv_att"]["kernel"][0, 0])
+        + p["conv_att"]["bias"])
+    upa = up * att
+
+    # per-phase-constant offset features
+    dxq = _axis_offsets(w * s, float(s), convention)[:s]
+    dyp = _axis_offsets(h * s, float(s), convention)[:s]
+    off_pq = jnp.stack(
+        [jnp.broadcast_to(dxq[None, :], (s, s)),
+         jnp.broadcast_to(dyp[:, None], (s, s))], axis=-1)
+    off_feat = off_pq @ p["conv_off"]["kernel"][0, 0] \
+        + p["conv_off"]["bias"]                           # [S, S, 16]
+
+    m = jnp.concatenate(
+        [upa, jnp.broadcast_to(off_feat, upa.shape[:-1] + (16,))], axis=-1)
+    mp = jnp.pad(m, ((0, 0), (1, 1), (1, 1), (0, 0), (0, 0), (0, 0)))
+    kout = p["conv_out"]["kernel"]                        # [3, 3, 2F, 16]
+    bout = p["conv_out"]["bias"]
+
+    # phase-decomposed 3x3 + the 16-tap apply, fused per phase plane
+    lr_pad = jnp.pad(lr_f32, ((1, 2), (1, 2), (0, 0)), mode="edge")
+    chw = jnp.transpose(lr_pad, (2, 0, 1))                # [C, h+3, w+3]
+    c = lr_u8.shape[-1]
+    cols = []
+    for pp in range(s):
+        planes = []
+        for q in range(s):
+            acc = None
+            for dy in (-1, 0, 1):
+                p2, sy = (pp + dy) % s, (pp + dy) // s
+                for dx in (-1, 0, 1):
+                    q2, sx = (q + dx) % s, (q + dx) // s
+                    src = mp[:, 1 + sy:1 + sy + h, 1 + sx:1 + sx + w,
+                             p2, q2]
+                    t = jnp.einsum("bhwi,io->bhwo", src,
+                                   kout[dy + 1, dx + 1])
+                    acc = t if acc is None else acc + t
+            wts = jnp.tanh(acc + bout)[0]                 # [h, w, 16]
+            aw = None
+            for i in range(16):
+                ty, tx = i // 4, i % 4
+                tap = chw[:, ty:ty + h, tx:tx + w]        # [C, h, w]
+                term = wts[None, :, :, i] * tap
+                aw = term if aw is None else aw + term
+            planes.append(aw)                             # [C, h, w]
+        cols.append(planes)
+    grid = jnp.stack([jnp.stack(r, axis=-1) for r in cols], axis=2)
+    out = grid.transpose(1, 2, 3, 4, 0).reshape(h * s, w * s, c)
+    return _apply_round(out).astype(jnp.uint8)
+
+
 def super_resolve(model, params, lr_u8, scale: int = 4,
                   convention: str = "inference"):
     """Full learned SR: uint8 LR in, uint8 SR out, one compiled program.
@@ -54,9 +153,17 @@ def super_resolve(model, params, lr_u8, scale: int = 4,
     (model_super_resolution.js:33-55); use "train" for self-consistent
     offsets matching the training data (§2.3 of SURVEY.md documents the
     reference's inconsistency).
+
+    WeightPredictor checkpoints take the phase-packed fast path (~8x on
+    TPU, see :func:`_super_resolve_packed`); other architectures use the
+    generic fused predict+apply program.
     """
-    return _super_resolve_fused(model, params, jnp.asarray(lr_u8),
-                                int(scale), convention)
+    lr = jnp.asarray(lr_u8)
+    p = params.get("params", params) if hasattr(params, "get") else params
+    if (type(model).__name__ == "WeightPredictor"
+            and all(k in p for k in _WP_LAYERS)):
+        return _super_resolve_packed(params, lr, int(scale), convention)
+    return _super_resolve_fused(model, params, lr, int(scale), convention)
 
 
 @functools.partial(jax.jit, static_argnames=("model",))

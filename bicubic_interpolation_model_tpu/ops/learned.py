@@ -91,16 +91,38 @@ def gt_weight_map(h_sr: int, w_sr: int, scale: float,
 
 
 def _apply_weights_phase(lr: jnp.ndarray, weights: jnp.ndarray, scale: int) -> jnp.ndarray:
+    """Phase-planar apply: one FMA chain per (row-phase, col-phase) plane at
+    LR resolution, channels planar (CHW) so every elementwise op runs on
+    [H_lr, W_lr] arrays with a full-width minor dim.
+
+    The round-1 formulation (einsum "hawqi,ihwc->hawqc") asked XLA for a
+    per-pixel 16x16x4 contraction — it lowered as tiny batched matmuls and
+    measured 31 ms at 0020 geometry on a v5e; this layout runs the same
+    FLOPs in 4.4 ms (docs/PERF_NOTES.md round 2, "phase-planar apply").
+    Tap order matches _apply_weights_gather (row-major taps), so the two
+    agree to fp-associativity noise.
+    """
     h_lr, w_lr, c = lr.shape
     h_sr, w_sr, _ = weights.shape
+    s = int(scale)
     padded = jnp.pad(lr, ((1, 2), (1, 2), (0, 0)), mode="edge")
-    patches = jnp.stack([
-        padded[dy:dy + h_lr, dx:dx + w_lr] for dy in range(4) for dx in range(4)
-    ])                                                              # [16, Hl, Wl, C]
-    wr = weights.reshape(h_lr, scale, w_lr, scale, 16)
-    out = jnp.einsum("hawqi,ihwc->hawqc", wr, patches,
-                     precision=jax.lax.Precision.HIGHEST)
-    return out.reshape(h_sr, w_sr, c)
+    chw = jnp.transpose(padded, (2, 0, 1))              # [C, Hl+3, Wl+3]
+    wr = weights.reshape(h_lr, s, w_lr, s, 16)
+    cols = []
+    for ay in range(s):
+        planes = []
+        for qx in range(s):
+            acc = None
+            for i in range(16):
+                dy, dx = i // 4, i % 4
+                tap = chw[:, dy:dy + h_lr, dx:dx + w_lr]     # [C, Hl, Wl]
+                wi = wr[:, ay, :, qx, i][None]               # [1, Hl, Wl]
+                t = wi * tap
+                acc = t if acc is None else acc + t
+            planes.append(acc)
+        cols.append(planes)
+    grid = jnp.stack([jnp.stack(r, axis=-1) for r in cols], axis=2)
+    return grid.transpose(1, 2, 3, 4, 0).reshape(h_sr, w_sr, c)
 
 
 def _apply_weights_gather(lr: jnp.ndarray, weights: jnp.ndarray) -> jnp.ndarray:

@@ -206,7 +206,7 @@ def main():
     from bicubic_interpolation_model_tpu.evaluation.model_analysis import (
         _load_model_any)
     from bicubic_interpolation_model_tpu.models.inference import (
-        _super_resolve_fused)
+        super_resolve)
 
     wp_dirs = {"ref_1e-3-30": "/root/reference/version3.0/model/1e-3-30"}
     for d in sorted((root / "model").glob("wp-*")):
@@ -216,13 +216,13 @@ def main():
     for name, d in wp_dirs.items():
         model, params = _load_model_any(d)
         per = chained_bench(
-            lambda x: _super_resolve_fused(model, params, x, SCALE, "train"),
+            lambda x: super_resolve(model, params, x, SCALE, "train"),
             lr_u8)
         ref = REFERENCE_MS["model_1e-3-30"]
         out[name] = {"ms_per_frame": per * 1e3,
                      "gpix_per_s": out_pix_0020 / per / 1e9,
                      "reference_ms": ref, "speedup": ref / (per * 1e3),
-                     "note": "fused predict+apply, one jit program"}
+                     "note": "phase-packed predict+apply, one jit program"}
         print(name, out[name])
 
     # ---- direct neural baselines (the reference's esrgan slots) ----
