@@ -75,7 +75,7 @@ def _super_resolve_packed(params, lr_u8, scale, convention):
     flax forward to ~2e-3 in tanh-weight space (bf16-pass matmul rounding),
     ≤1 u8 LSB after apply+round (tested).
     """
-    from ..ops.learned import _axis_offsets, _apply_round
+    from ..ops.learned import _apply_round
 
     s = int(scale)
     p = params["params"] if "params" in params else params
@@ -91,32 +91,56 @@ def _super_resolve_packed(params, lr_u8, scale, convention):
     y = jax.nn.relu(conv(xf, p["conv_in"]))
     y = y + conv(y, p["conv_res"])                        # [1, h, w, F]
 
-    up = jnp.einsum("byxi,pqoi->byxpqo", y, p["upsample"]["kernel"]) \
-        + p["upsample"]["bias"]                           # [1,h,w,S,S,16]
-    att = jax.nn.sigmoid(
-        jnp.einsum("byxpqo,oa->byxpqa", up, p["conv_att"]["kernel"][0, 0])
-        + p["conv_att"]["bias"])
-    upa = up * att
+    upa = _packed_upsample_att(p, y)                      # [1,h,w,S,S,16]
 
-    # per-phase-constant offset features
-    dxq = _axis_offsets(w * s, float(s), convention)[:s]
-    dyp = _axis_offsets(h * s, float(s), convention)[:s]
-    off_pq = jnp.stack(
-        [jnp.broadcast_to(dxq[None, :], (s, s)),
-         jnp.broadcast_to(dyp[:, None], (s, s))], axis=-1)
-    off_feat = off_pq @ p["conv_off"]["kernel"][0, 0] \
-        + p["conv_off"]["bias"]                           # [S, S, 16]
+    off_feat = _packed_off_feat(p, s, convention)         # [S, S, 16]
 
     m = jnp.concatenate(
         [upa, jnp.broadcast_to(off_feat, upa.shape[:-1] + (16,))], axis=-1)
     mp = jnp.pad(m, ((0, 0), (1, 1), (1, 1), (0, 0), (0, 0), (0, 0)))
-    kout = p["conv_out"]["kernel"]                        # [3, 3, 2F, 16]
-    bout = p["conv_out"]["bias"]
 
     # phase-decomposed 3x3 + the 16-tap apply, fused per phase plane
     lr_pad = jnp.pad(lr_f32, ((1, 2), (1, 2), (0, 0)), mode="edge")
     chw = jnp.transpose(lr_pad, (2, 0, 1))                # [C, h+3, w+3]
-    c = lr_u8.shape[-1]
+    out = _packed_phase_tail(mp, chw, p["conv_out"]["kernel"],
+                             p["conv_out"]["bias"], s, lr_u8.shape[-1],
+                             h, w)
+    return _apply_round(out).astype(jnp.uint8)
+
+
+def _packed_off_feat(p, s, convention):
+    """The conv_off 1x1 layer collapsed to a per-phase constant [S, S, 16]
+    (both offset conventions are periodic in x mod S)."""
+    from ..ops.learned import _axis_offsets
+
+    dxq = _axis_offsets(s * s, float(s), convention)[:s]
+    dyp = _axis_offsets(s * s, float(s), convention)[:s]
+    off_pq = jnp.stack(
+        [jnp.broadcast_to(dxq[None, :], (s, s)),
+         jnp.broadcast_to(dyp[:, None], (s, s))], axis=-1)
+    return off_pq @ p["conv_off"]["kernel"][0, 0] + p["conv_off"]["bias"]
+
+
+def _packed_upsample_att(p, y):
+    """Transposed-conv upsample + attention, packed layout:
+    [1, h, w, F] → [1, h, w, S, S, 16]."""
+    up = jnp.einsum("byxi,pqoi->byxpqo", y, p["upsample"]["kernel"]) \
+        + p["upsample"]["bias"]
+    att = jax.nn.sigmoid(
+        jnp.einsum("byxpqo,oa->byxpqa", up, p["conv_att"]["kernel"][0, 0])
+        + p["conv_att"]["bias"])
+    return up * att
+
+
+def _packed_phase_tail(mp, chw, kout, bout, s, c, h, w):
+    """conv_out (phase-decomposed 3x3 tanh) + the 16-tap apply, per phase
+    plane. ``mp`` is the merged packed map with ONE zero row/col of padding
+    on each side ([1, h+2, w+2, S, S, 2F]); ``chw`` the planar LR pixels
+    with (1 leading, 2 trailing) rows/cols of padding ([C, h+3, w+3]).
+    Shared by the single-chip path and the band-sharded path
+    (parallel/spatial.learned_resize_spatial_sharded), which build the same
+    local window shapes from ppermute halos. Returns float [h*S, w*S, c].
+    """
     cols = []
     for pp in range(s):
         planes = []
@@ -141,8 +165,7 @@ def _super_resolve_packed(params, lr_u8, scale, convention):
             planes.append(aw)                             # [C, h, w]
         cols.append(planes)
     grid = jnp.stack([jnp.stack(r, axis=-1) for r in cols], axis=2)
-    out = grid.transpose(1, 2, 3, 4, 0).reshape(h * s, w * s, c)
-    return _apply_round(out).astype(jnp.uint8)
+    return grid.transpose(1, 2, 3, 4, 0).reshape(h * s, w * s, c)
 
 
 def super_resolve(model, params, lr_u8, scale: int = 4,

@@ -221,6 +221,114 @@ def adaptive_resize_spatial_sharded(img, scale, *, mesh: Mesh,
     return unpack_planar(out, h, w, int(scale), img.shape[-1])
 
 
+_LEARNED_HALO = 3   # conv_in(1) + conv_res(1) + conv_out(±1 LR row)
+
+
+@functools.partial(jax.jit, static_argnames=("scale", "convention", "mesh",
+                                             "axis"))
+def _learned_spatial(params, img_hwc, scale, convention, mesh, axis):
+    from ..models import inference as inf
+    from ..ops.learned import _apply_round
+
+    h, w, c = img_hwc.shape
+    s = int(scale)
+    n = mesh.shape[axis]
+    hb = h // n
+    hh = _LEARNED_HALO
+    p = params["params"] if "params" in params else params
+    off_feat = inf._packed_off_feat(p, s, convention)
+
+    def conv(x, kp):
+        return jax.lax.conv_general_dilated(
+            x, kp["kernel"], (1, 1), "SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC")) + kp["bias"]
+
+    def body(x_local):
+        ix = jax.lax.axis_index(axis)
+        perm_down = [(j, j + 1) for j in range(n - 1)]
+        perm_up = [(j + 1, j) for j in range(n - 1)]
+        # halo of REAL pixel rows; edge shards receive zeros from ppermute,
+        # which is exactly the convs' SAME padding at the true borders
+        top = jax.lax.ppermute(x_local[-hh:], axis, perm_down)
+        bot = jax.lax.ppermute(x_local[:hh], axis, perm_up)
+        xe = jnp.concatenate([top, x_local, bot], axis=0)  # [hb+6, W, C]
+
+        def outside_zeroed(t):
+            """Zero rows outside the true image on the edge shards — the
+            next conv's SAME padding must see zeros there, not values
+            computed from the zero-halo."""
+            rows = t.shape[1]
+            r = jnp.arange(rows)
+            keep_top = jnp.where(ix == 0, r >= hh, jnp.ones_like(r, bool))
+            keep_bot = jnp.where(ix == n - 1, r < rows - hh,
+                                 jnp.ones_like(r, bool))
+            keep = (keep_top & keep_bot).astype(t.dtype)
+            return t * keep.reshape((1, rows) + (1,) * (t.ndim - 2))
+
+        xf = (xe.astype(jnp.float32) / 255.0)[None]
+        y = jax.nn.relu(conv(xf, p["conv_in"]))
+        y = outside_zeroed(y)
+        y = y + conv(y, p["conv_res"])                     # [1, hb+6, W, F]
+
+        upa = inf._packed_upsample_att(p, y)
+        m = jnp.concatenate(
+            [upa, jnp.broadcast_to(off_feat, upa.shape[:-1] + (16,))],
+            axis=-1)
+        m = outside_zeroed(m)
+        # mp rows r in [-1, hb+1): ext rows [hh-1, hh+hb+1); cols 1 zero pad
+        mp = jnp.pad(m[:, hh - 1:hh + hb + 1],
+                     ((0, 0), (0, 0), (1, 1), (0, 0), (0, 0), (0, 0)))
+
+        # apply taps: LR rows [-1, hb+2) with REPLICATE values at the true
+        # borders (the apply clamps tap positions to the image)
+        xa = xe[hh - 1:hh + hb + 2].astype(jnp.float32)    # [hb+3, W, C]
+        first = jnp.where(ix == 0, xa[1:2], xa[0:1])
+        last2 = jnp.where(ix == n - 1,
+                          jnp.broadcast_to(xa[-3:-2], xa[-2:].shape),
+                          xa[-2:])
+        xa = jnp.concatenate([first, xa[1:-2], last2], axis=0)
+        chw = jnp.transpose(jnp.pad(xa, ((0, 0), (1, 2), (0, 0)),
+                                    mode="edge"), (2, 0, 1))  # [C,hb+3,W+3]
+
+        out = inf._packed_phase_tail(mp, chw, p["conv_out"]["kernel"],
+                                     p["conv_out"]["bias"], s, c, hb, w)
+        return _apply_round(out).astype(jnp.uint8)
+
+    return shard_map(
+        body, mesh=mesh,
+        in_specs=(P(axis, None, None),),
+        out_specs=P(axis, None, None),
+        check_vma=False,
+    )(img_hwc)
+
+
+def learned_resize_spatial_sharded(model, params, img, scale=4, *,
+                                   mesh: Mesh, axis: str = "spatial",
+                                   convention: str = "train"):
+    """Learned weight-predictor SR of one HWC uint8 frame with its LR rows
+    band-sharded over ``mesh[axis]`` — the packed-phase forward
+    (models/inference._super_resolve_packed) runs per band.
+
+    Bands exchange a 3-row halo of pixel values via ``jax.lax.ppermute``
+    (receptive field: conv_in + conv_res + the phase-decomposed conv_out
+    reach ±3 LR rows); on the edge shards the zero-filled ppermute results
+    double as the convs' SAME padding, while the 16-tap apply overrides
+    them with the replicate values its clamp semantics need. Matches the
+    single-chip packed path to fp-association noise (≤1 u8 LSB, tested on
+    the 8-device CPU mesh).
+    """
+    if type(model).__name__ != "WeightPredictor":
+        raise ValueError("spatial sharding implemented for WeightPredictor "
+                         "checkpoints")
+    img = jnp.asarray(img)
+    n = mesh.shape[axis]
+    if img.shape[0] % n:
+        raise ValueError(f"H={img.shape[0]} not divisible by {n} shards")
+    if img.shape[0] // n < _LEARNED_HALO:
+        raise ValueError("bands must be at least 3 rows tall")
+    return _learned_spatial(params, img, int(scale), convention, mesh, axis)
+
+
 def resize_spatial_sharded(img, scale, method: str = "bicubic", *,
                            mesh: Mesh, axis: str = "spatial",
                            a: float = -0.5, lanczos_a: int = 3):

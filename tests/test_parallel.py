@@ -163,3 +163,31 @@ def test_adaptive_spatial_sharded_validation():
     with pytest.raises(ValueError):
         adaptive_resize_spatial_sharded(
             np.zeros((16, 16, 4), np.uint8), 1.5, mesh=mesh)
+
+
+@pytest.mark.parametrize("n_spatial", [2, 4])
+def test_learned_spatial_sharded_matches_single_chip(rng, n_spatial):
+    """Band-sharded packed weight-predictor inference (3-row pixel halos
+    via ppermute; SAME-conv zeros vs apply-clamp replicates at the true
+    borders) matches the single-chip packed path to <=1 u8 LSB."""
+    import pathlib
+
+    from bicubic_interpolation_model_tpu.evaluation.model_analysis import (
+        _load_model_any)
+    from bicubic_interpolation_model_tpu.models.inference import super_resolve
+    from bicubic_interpolation_model_tpu.parallel.spatial import (
+        learned_resize_spatial_sharded)
+
+    ckpt = (pathlib.Path(__file__).resolve().parents[1] / "model"
+            / "wp-1e-3-120")
+    if not ckpt.exists():
+        pytest.skip("no local wp checkpoint")
+    model, params = _load_model_any(ckpt)
+    mesh = make_mesh(n_spatial, spatial=n_spatial)
+    img = random_image(rng, 16, 20)
+    sharded = np.asarray(learned_resize_spatial_sharded(
+        model, params, img, 4, mesh=mesh)).astype(np.int64)
+    single = np.asarray(super_resolve(model, params, img,
+                                      convention="train")).astype(np.int64)
+    assert sharded.shape == single.shape
+    assert np.abs(sharded - single).max() <= 1
