@@ -73,11 +73,11 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--only", default="",
                     help="comma list of sections to re-measure (classical,"
-                         "adaptive,learned,neural,rational); default all. "
-                         "Other sections keep their previous JSON rows.")
+                         "adaptive,learned,neural,rational,train); default "
+                         "all. Other sections keep their previous JSON rows.")
     args = ap.parse_args()
     sections = set(filter(None, args.only.split(","))) or {
-        "classical", "adaptive", "learned", "neural", "rational"}
+        "classical", "adaptive", "learned", "neural", "rational", "train"}
 
     root = pathlib.Path(__file__).resolve().parents[1]
     res = root / "results"
@@ -254,6 +254,82 @@ def main():
                      "gpix_per_s": out_pix_0020 / per / 1e9,
                      "reference_ms": ref, "speedup": ref / (per * 1e3)}
         print(name, out[name])
+
+    # ---- training-step throughput (no reference number exists — the
+    # reference's train.js logs epochs but checks in no timings) ----
+    if want("train"):
+        import optax
+
+        from bicubic_interpolation_model_tpu.models.weight_predictor import (
+            WeightPredictor)
+        from bicubic_interpolation_model_tpu.ops.learned import (
+            gt_weight_map, offset_map)
+        from bicubic_interpolation_model_tpu.train.trainer import (
+            make_weight_predictor_step)
+
+        model = WeightPredictor(scale=SCALE)
+        optimizer = optax.adam(1e-4)
+        step = make_weight_predictor_step(model, optimizer, scale=SCALE)
+
+        def bench_train(img, off, y, mask, label):
+            params = model.init(
+                jax.random.key(0), img[:1], off[:1])
+            opt_state = optimizer.init(params)
+
+            @jax.jit
+            def chained(img, off, y, mask, params, opt_state, k):
+                def body(i, carry):
+                    params, opt_state, acc = carry
+                    params, opt_state, loss, _ = step(
+                        params, opt_state,
+                        img + i.astype(jnp.float32) * 1e-6, off, y, mask)
+                    return params, opt_state, acc + loss
+                return jax.lax.fori_loop(
+                    0, k, body, (params, opt_state, jnp.float32(0)))[2]
+
+            float(np.asarray(chained(img, off, y, mask, params,
+                                     opt_state, 1)))
+
+            def timed(k):
+                best = np.inf
+                for _ in range(2):
+                    t0 = time.perf_counter()
+                    float(np.asarray(chained(img, off, y, mask, params,
+                                             opt_state, k)))
+                    best = min(best, time.perf_counter() - t0)
+                return best
+
+            per = max((timed(12) - timed(2)) / 10, 1e-9)
+            row = {"ms_per_step": per * 1e3,
+                   "images_per_s": img.shape[0] / per,
+                   "lr_mpix_per_s": img.shape[0] * img.shape[1]
+                   * img.shape[2] / per / 1e6}
+            out[label] = row
+            print(label, row)
+
+        # whole-image batches at the 0020 bucketed geometry (image mode)
+        hb, wb = 352, 512
+        img = jnp.asarray(rng.random((1, hb, wb, 4), np.float32))
+        off = jnp.broadcast_to(offset_map(
+            hb * SCALE, wb * SCALE, float(SCALE), "train")[None],
+            (1, hb * SCALE, wb * SCALE, 2))
+        y = jnp.broadcast_to(gt_weight_map(
+            hb * SCALE, wb * SCALE, float(SCALE))[None],
+            (1, hb * SCALE, wb * SCALE, 16))
+        mask = jnp.ones((1, hb * SCALE, wb * SCALE, 1), jnp.float32)
+        bench_train(img, off, y, mask, "train_step_image_0020")
+
+        # patch mode: batch of 16 x 48^2 LR patches (the default config)
+        p16, b = 48, 16
+        img = jnp.asarray(rng.random((b, p16, p16, 4), np.float32))
+        off = jnp.broadcast_to(offset_map(
+            p16 * SCALE, p16 * SCALE, float(SCALE), "train")[None],
+            (b, p16 * SCALE, p16 * SCALE, 2))
+        y = jnp.broadcast_to(gt_weight_map(
+            p16 * SCALE, p16 * SCALE, float(SCALE))[None],
+            (b, p16 * SCALE, p16 * SCALE, 16))
+        mask = jnp.ones((b, p16 * SCALE, p16 * SCALE, 1), jnp.float32)
+        bench_train(img, off, y, mask, "train_step_patch16x48")
 
     res = root / "results"
     res.mkdir(exist_ok=True)
