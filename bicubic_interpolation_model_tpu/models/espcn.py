@@ -65,8 +65,16 @@ def _esrgan_lite(scale=4):
     return ESRGANLite(scale=scale, features=64, growth=32, n_blocks=6)
 
 
+def _esrgan_plus(scale=4):
+    from .esrgan import ESRGANLite
+    # dims of the shipping model/esrgan_plus checkpoint (round 2: a wider/
+    # deeper generator for the top quality row)
+    return ESRGANLite(scale=scale, features=96, growth=48, n_blocks=8)
+
+
 MODEL_ZOO = {
     "espcn_medium": lambda scale=4: ESPCN(scale=scale),
     "espcn_thick": lambda scale=4: ESPCNResidual(scale=scale),
     "esrgan_lite": _esrgan_lite,
+    "esrgan_plus": _esrgan_plus,
 }

@@ -13,7 +13,7 @@ import jax
 import jax.numpy as jnp
 
 from ..ops.learned import (
-    _apply_round, _apply_weights_phase, apply_weights, offset_map,
+    _apply_round, _apply_weights_phase, offset_map,
 )
 
 

@@ -233,17 +233,12 @@ def main():
     lr_f = jnp.asarray(np.asarray(lr_u8)[..., :3], jnp.float32) / 255.0
     for name, ref_key in (("espcn_medium", "espcn_medium"),
                           ("espcn_thick", "espcn_thick"),
-                          ("esrgan_lite", "espcn_thick")):
+                          ("esrgan_lite", "espcn_thick"),
+                          ("esrgan_plus", "espcn_thick")):
         d = root / "model" / name
         if not d.exists() or not want("neural"):
             continue
-        if name == "esrgan_lite":
-            from bicubic_interpolation_model_tpu.models.esrgan import (
-                ESRGANLite)
-            model = ESRGANLite(scale=SCALE, features=64, growth=32,
-                               n_blocks=6)
-        else:
-            model = MODEL_ZOO[name](scale=SCALE)
+        model = MODEL_ZOO[name](scale=SCALE)
         template = model.init(jax.random.key(0),
                               np.zeros((1, 8, 8, 3), np.float32))
         params, _ = checkpoint.load(d, template)

@@ -23,7 +23,17 @@ SCALE = 4
 
 
 def main():
+    import argparse
+
     import jax
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--ids", default="",
+                    help="comma subset of image ids to (re)compute; rows "
+                         "for other ids are kept from the existing CSV and "
+                         "the AVERAGE rows recomputed over the merged set")
+    args = ap.parse_args()
+    run_ids = args.ids.split(",") if args.ids else list(IDS)
     try:
         # must run before backend init (jax.default_backend would initialize)
         jax.config.update("jax_platforms", "cpu")
@@ -57,7 +67,7 @@ def main():
         m, template = init_params(_jax.random.key(0))
         p, _ = checkpoint.load(wp_dir, template)
         wp_list.append((m, p, wp_dir.name))
-    for name in ("espcn_medium", "espcn_thick", "esrgan_lite"):
+    for name in ("espcn_medium", "espcn_thick", "esrgan_lite", "esrgan_plus"):
         d = root / "model" / name
         if d.exists():
             from bicubic_interpolation_model_tpu.models.espcn import MODEL_ZOO
@@ -84,7 +94,7 @@ def main():
             mlps.append((name, model, p, include_off))
 
     results = []
-    for image_id in IDS:
+    for image_id in run_ids:
         hr = align_crop(imageio.load_rgba(REF / "cp_image" / "hr_images"
                                           / f"{image_id}.png"), SCALE)
         lr = downsample_np(hr, float(SCALE), "lanczos3")
@@ -101,7 +111,7 @@ def main():
         for (m, p, name) in wp_list:
             rebuilds[name] = np.asarray(super_resolve(
                 m, p, lr, scale=SCALE, convention="train"))
-        for key in ("espcn_medium", "espcn_thick", "esrgan_lite"):
+        for key in ("espcn_medium", "espcn_thick", "esrgan_lite", "esrgan_plus"):
             if key in own:
                 m, p, name = own[key]
                 sr3 = np.asarray(super_resolve_direct(m, p, lr[..., :3]))
@@ -117,8 +127,20 @@ def main():
             print(f"[{image_id}/{method}] PSNR={met.psnr:.2f} "
                   f"SSIM={met.ssim:.4f} MSE={met.mse:.2f}")
 
-    avgs = cmp.method_averages(results)
     out = root / "results" / "metrics_report.csv"
+    if out.exists() and set(run_ids) != set(IDS):
+        from bicubic_interpolation_model_tpu.evaluation.metrics import Metrics
+        seen = {(r.image_id, r.method) for r in results}
+        for line in out.read_text().splitlines()[1:]:
+            image_id, method, psnr, ssim, mse = line.split(",")
+            if image_id == "AVERAGE" or (image_id, method) in seen:
+                continue
+            results.append(cmp.CompareResult(
+                image_id, method,
+                Metrics(psnr=float(psnr), ssim=float(ssim),
+                        mse=float(mse))))
+        results.sort(key=lambda r: (r.image_id, r.method))
+    avgs = cmp.method_averages(results)
     cmp.export_csv(out, results, avgs)
     print(f"\n→ {out}\nMETHOD                  PSNR     SSIM      MSE")
     for mname, v in sorted(avgs.items(), key=lambda kv: kv[1].psnr):

@@ -53,7 +53,7 @@ def evaluate_direct(model, params, scale=4):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true")
-    ap.add_argument("--only", choices=("wp", "wp_adaptive", "espcn_medium", "espcn_thick", "esrgan_lite"))
+    ap.add_argument("--only", choices=("wp", "wp_adaptive", "espcn_medium", "espcn_thick", "esrgan_lite", "esrgan_plus"))
     args = ap.parse_args()
 
     from bicubic_interpolation_model_tpu.data.onthefly import load_hr_dir
@@ -95,16 +95,13 @@ def main():
     from bicubic_interpolation_model_tpu.models.espcn import MODEL_ZOO
     from bicubic_interpolation_model_tpu.train.direct_trainer import (
         DirectSRConfig, DirectSRTrainer)
-    for name in ("espcn_medium", "espcn_thick", "esrgan_lite"):
+    for name in ("espcn_medium", "espcn_thick", "esrgan_lite", "esrgan_plus"):
         if args.only not in (None, name):
             continue
-        epochs = 3 if args.quick else {"espcn_medium": 60, "espcn_thick": 90, "esrgan_lite": 140}[name]
+        epochs = 3 if args.quick else {"espcn_medium": 60, "espcn_thick": 90, "esrgan_lite": 140, "esrgan_plus": 240}[name]
         cfg = DirectSRConfig(learning_rate=1e-3, epochs=epochs,
                              steps_per_epoch=60, patch_lr=32, batch_size=16)
-        model = (MODEL_ZOO[name](scale=4) if name != "esrgan_lite" else
-                 __import__("bicubic_interpolation_model_tpu.models.esrgan",
-                            fromlist=["ESRGANLite"]).ESRGANLite(
-                     scale=4, features=64, growth=32, n_blocks=6))
+        model = MODEL_ZOO[name](scale=4)
         tr = DirectSRTrainer(model, cfg)
         params = tr.fit(data, log=print)
         m = evaluate_direct(tr.model, params)

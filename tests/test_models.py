@@ -153,7 +153,8 @@ def test_esrgan_lite_shapes():
 
 def test_model_zoo_complete():
     from bicubic_interpolation_model_tpu.models.espcn import MODEL_ZOO
-    assert set(MODEL_ZOO) == {"espcn_medium", "espcn_thick", "esrgan_lite"}
+    assert set(MODEL_ZOO) == {"espcn_medium", "espcn_thick",
+                          "esrgan_lite", "esrgan_plus"}
     for f in MODEL_ZOO.values():
         m = f(scale=2)
         p = m.init(jax.random.key(0), jnp.zeros((1, 8, 8, 3)))
