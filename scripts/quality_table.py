@@ -32,8 +32,14 @@ def main():
                     help="comma subset of image ids to (re)compute; rows "
                          "for other ids are kept from the existing CSV and "
                          "the AVERAGE rows recomputed over the merged set")
+    ap.add_argument("--methods", default="",
+                    help="comma subset of method names to (re)compute "
+                         "(matches the CSV METHOD column); other rows kept")
+    ap.add_argument("--backend", default="cpu", choices=("cpu", "tpu"),
+                    help="cpu (default, reproducible anywhere) or tpu")
     args = ap.parse_args()
     run_ids = args.ids.split(",") if args.ids else list(IDS)
+    run_methods = set(args.methods.split(",")) if args.methods else None
     try:
         # must run before backend init (jax.default_backend would initialize)
         jax.config.update("jax_platforms", "cpu")
@@ -99,36 +105,45 @@ def main():
                                           / f"{image_id}.png"), SCALE)
         lr = downsample_np(hr, float(SCALE), "lanczos3")
 
+        def direct(m, p):
+            sr3 = np.asarray(super_resolve_direct(m, p, lr[..., :3]))
+            return np.concatenate(
+                [sr3, np.full(sr3.shape[:2] + (1,), 255, np.uint8)], -1)
+
         rebuilds = {
-            "nearest": np.asarray(resize(lr, SCALE, "nearest")),
-            "bilinear": np.asarray(resize(lr, SCALE, "bilinear")),
-            "bicubic_-0.5": np.asarray(resize(lr, SCALE, "bicubic")),
-            "lanczos": np.asarray(resize(lr, SCALE, "lanczos")),
-            "adaptive_bicubic_-0.5": np.asarray(adaptive_resize(lr, SCALE)),
-            "ref_1e-3-30": np.asarray(super_resolve(
+            "nearest": lambda: np.asarray(resize(lr, SCALE, "nearest")),
+            "bilinear": lambda: np.asarray(resize(lr, SCALE, "bilinear")),
+            "bicubic_-0.5": lambda: np.asarray(resize(lr, SCALE, "bicubic")),
+            "lanczos": lambda: np.asarray(resize(lr, SCALE, "lanczos")),
+            "adaptive_bicubic_-0.5":
+                lambda: np.asarray(adaptive_resize(lr, SCALE)),
+            "ref_1e-3-30": lambda: np.asarray(super_resolve(
                 ref_model, ref_params, lr, scale=SCALE, convention="train")),
         }
         for (m, p, name) in wp_list:
-            rebuilds[name] = np.asarray(super_resolve(
-                m, p, lr, scale=SCALE, convention="train"))
+            rebuilds[name] = (lambda m=m, p=p: np.asarray(super_resolve(
+                m, p, lr, scale=SCALE, convention="train")))
         for key in ("espcn_medium", "espcn_thick", "esrgan_lite", "esrgan_plus"):
             if key in own:
                 m, p, name = own[key]
-                sr3 = np.asarray(super_resolve_direct(m, p, lr[..., :3]))
-                rebuilds[name] = np.concatenate(
-                    [sr3, np.full(sr3.shape[:2] + (1,), 255, np.uint8)], -1)
+                rebuilds[name] = (lambda m=m, p=p: direct(m, p))
         for (name, m, p, include_off) in mlps:
-            rebuilds[name] = np.asarray(super_resolve_mlp(
-                m, p, lr, scale=SCALE, include_offsets=include_off))
+            rebuilds[name] = (
+                lambda m=m, p=p, io=include_off: np.asarray(super_resolve_mlp(
+                    m, p, lr, scale=SCALE, include_offsets=io)))
 
-        for method, sr in rebuilds.items():
+        for method, mk in rebuilds.items():
+            if run_methods is not None and method not in run_methods:
+                continue
+            sr = mk()
             met = compare_images(hr, sr)
             results.append(cmp.CompareResult(image_id, method, met))
             print(f"[{image_id}/{method}] PSNR={met.psnr:.2f} "
                   f"SSIM={met.ssim:.4f} MSE={met.mse:.2f}")
 
     out = root / "results" / "metrics_report.csv"
-    if out.exists() and set(run_ids) != set(IDS):
+    if out.exists() and (set(run_ids) != set(IDS)
+                     or run_methods is not None):
         from bicubic_interpolation_model_tpu.evaluation.metrics import Metrics
         seen = {(r.image_id, r.method) for r in results}
         for line in out.read_text().splitlines()[1:]:
