@@ -277,6 +277,10 @@ def _adaptive_resize_pallas(img, scale: int, a: float, step: int, wstep: int,
                              interpret=interpret)
     if layout == "planar":
         return out
+    if layout == "hwc32":
+        from .pallas_interleave import interleave_planar_u32
+        inter = interleave_planar_u32(out, interpret=interpret)
+        return inter[:h * s, :w * s]
     return unpack_planar(out, h, w, s, c)
 
 
@@ -302,10 +306,16 @@ def adaptive_resize_pallas(img_u8, scale: int, a: float = -0.5, *,
                            layout: str = "hwc"):
     """Fused adaptive-bicubic SR of an HWC uint8 image (integer scale).
 
-    ``layout="planar"`` returns the kernel's native output — [S, R, X]
-    uint32 with the c channels packed little-endian in each word, rows
-    fully interleaved, column phase planar, spatial extents padded to the
-    tile grid; :func:`unpack_planar` materializes HWC.
+    Layouts:
+      ``"hwc"``    uint8 [H*S, W*S, C] (XLA bitcast+transpose epilogue — a
+                   genuine u32→u8 retiling boundary, expensive; use for
+                   parity/convenience paths);
+      ``"hwc32"``  uint32 [H*S, W*S] RGBA32 words via the Pallas interleave
+                   kernel (ops/pallas_interleave) — 22x cheaper than
+                   "hwc"; fetched bytes view as HWC uint8 for free;
+      ``"planar"`` the kernel's native [S, R, X] u32 (rows interleaved,
+                   column phase planar, extents padded to the tile grid);
+                   :func:`unpack_planar` materializes HWC.
     """
     if float(scale) != int(scale) or scale < 1:
         raise ValueError("adaptive pallas path requires an integer upscale")

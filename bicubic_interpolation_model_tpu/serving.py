@@ -50,9 +50,25 @@ class Upscaler:
         if method == "adaptive":
             from .ops.adaptive import adaptive_resize
             aimpl = "auto" if impl in ("auto", "pallas_phase") else impl
+            s = int(scale)
+            use_hwc32 = (aimpl == "auto"
+                         and jax.default_backend() == "tpu"
+                         and float(scale) == s)
 
             def f(img):
-                return adaptive_resize(img, int(scale), a=a, impl=aimpl)
+                img = np.asarray(img)
+                if use_hwc32 and img.ndim == 3 and img.shape[-1] == 4 \
+                        and img.dtype == np.uint8:
+                    # RGBA32 device layout (22x cheaper than the device u8
+                    # HWC epilogue); the fetched words VIEW as HWC bytes
+                    from .ops.pallas_adaptive import adaptive_resize_pallas
+                    from .ops.pallas_interleave import rgba32_to_hwc_np
+                    h, w = img.shape[:2]
+                    out32 = adaptive_resize_pallas(img, s, a=a,
+                                                   layout="hwc32")
+                    return rgba32_to_hwc_np(np.asarray(out32),
+                                            h * s, w * s)
+                return adaptive_resize(img, s, a=a, impl=aimpl)
             return f
         from .ops.resize import resize
 

@@ -128,6 +128,8 @@ def main():
                 fn = lambda x: adaptive_resize_pallas(
                     x, SCALE, -0.5, layout="planar")
                 fn_hwc = lambda x: adaptive_resize_pallas(x, SCALE, -0.5)
+                fn_hwc32 = lambda x: adaptive_resize_pallas(
+                    x, SCALE, -0.5, layout="hwc32")
             else:
                 fn = fn_hwc = lambda x: adaptive_resize(
                     x, SCALE, -0.5, impl=aimpl)
@@ -139,6 +141,9 @@ def main():
                 "layout": "planar_u32" if aimpl == "pallas" else "hwc",
                 "hwc_program_output_ms":
                     bench_program_output(fn_hwc, lr_u8) * 1e3,
+                **({"hwc32_program_output_ms":
+                    bench_program_output(fn_hwc32, lr_u8) * 1e3}
+                   if aimpl == "pallas" else {}),
                 "reference_ms": REFERENCE_MS["adaptive_bicubic"],
                 "speedup": REFERENCE_MS["adaptive_bicubic"] / (per * 1e3),
             }

@@ -56,3 +56,24 @@ def test_adaptive_pallas_planar_layout(rng):
     assert pl_.dtype == np.uint32          # channel-packed words
     back = np.asarray(unpack_planar(pl_, 8, 8, 4, 4))
     np.testing.assert_array_equal(back, hwc)
+
+
+def test_interleave_planar_u32_kernel(rng):
+    from bicubic_interpolation_model_tpu.ops.pallas_interleave import (
+        interleave_planar_u32)
+    planar = rng.integers(0, 2**32, (4, 16, 256), dtype=np.uint64
+                          ).astype(np.uint32)
+    got = np.asarray(interleave_planar_u32(planar, rt=8, xt=128))
+    want = planar.transpose(1, 2, 0).reshape(16, 256 * 4)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_adaptive_hwc32_layout_matches_hwc(rng):
+    from bicubic_interpolation_model_tpu.ops.pallas_interleave import (
+        rgba32_to_hwc_np)
+    img = random_image(rng, 16, 32)
+    hwc = np.asarray(adaptive_resize_pallas(img, 4, step=8, wstep=128))
+    out32 = np.asarray(adaptive_resize_pallas(img, 4, step=8, wstep=128,
+                                              layout="hwc32"))
+    assert out32.dtype == np.uint32 and out32.shape == (64, 128)
+    np.testing.assert_array_equal(rgba32_to_hwc_np(out32, 64, 128), hwc)
