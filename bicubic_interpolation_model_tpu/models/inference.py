@@ -72,8 +72,9 @@ def _super_resolve_packed(params, lr_u8, scale, convention):
       (p+dy mod S, q+dx mod S) with the corresponding kernel taps.
 
     Numerics: same ops in a different association order — agrees with the
-    flax forward to ~2e-3 in tanh-weight space (bf16-pass matmul rounding),
-    ≤1 u8 LSB after apply+round (tested).
+    flax forward to ~2e-3 in tanh-weight space (bf16-pass matmul rounding);
+    after apply+round, ≤2 u8 LSB on ~8% of pixels of the real 0020 image
+    with PSNR unchanged (33.307 vs 33.302 dB; tested).
     """
     from ..ops.learned import _apply_round
 
