@@ -78,13 +78,17 @@ def cmd_sr(args):
         from ..ops.resize import resize
         fn = lambda: resize(lr, scale, method, impl=args.impl, a=args.a)
     elif method == "adaptive":
-        from ..ops.adaptive import adaptive_resize
-        fn = lambda: adaptive_resize(lr, int(scale), a=args.a)
+        # serving path: RGBA32 interleave kernel on TPU (22x cheaper HWC
+        # delivery than the device u8 epilogue), jnp fallback elsewhere
+        from ..serving import Upscaler
+        up = Upscaler(scale=int(scale), method="adaptive", a=args.a)
+        fn = lambda: up(lr)
     elif method == "model":
         from ..models.inference import super_resolve
         model, params = _load_model(args.model_dir)
         fn = lambda: super_resolve(model, params, lr, scale=int(scale))
-    elif method in ("espcn_medium", "espcn_thick", "esrgan_lite"):
+    elif method in ("espcn_medium", "espcn_thick", "esrgan_lite",
+                    "esrgan_plus"):
         from ..models.espcn import MODEL_ZOO
         from ..models.inference import super_resolve_direct
         from ..train import checkpoint
@@ -128,7 +132,8 @@ def cmd_sr_all(args):
         model_dir = str(wps[-1]) if wps else None
     if model_dir:
         runs.append(("model", model_dir))
-    for name in ("espcn_medium", "espcn_thick", "esrgan_lite"):
+    for name in ("espcn_medium", "espcn_thick", "esrgan_lite",
+                 "esrgan_plus"):
         d = ws / "model" / name
         if (d / "params.msgpack").exists():
             runs.append((name, str(d)))
@@ -320,7 +325,8 @@ def build_parser():
 
     sp = sub.add_parser("train-sr", help="train an ESPCN-family SR baseline")
     sp.add_argument("--model", default="espcn_medium",
-                    choices=("espcn_medium", "espcn_thick", "esrgan_lite"))
+                    choices=("espcn_medium", "espcn_thick", "esrgan_lite",
+                             "esrgan_plus"))
     sp.add_argument("--hr-dir", required=True)
     sp.add_argument("--lr", type=float, default=1e-3)
     sp.add_argument("--epochs", type=int, default=50)
