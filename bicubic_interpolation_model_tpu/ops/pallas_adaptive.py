@@ -284,6 +284,27 @@ def _adaptive_resize_pallas(img, scale: int, a: float, step: int, wstep: int,
     return unpack_planar(out, h, w, s, c)
 
 
+def adaptive_resize_pallas_batch(imgs_u8, scale: int, a: float = -0.5, *,
+                                 step: int = 16, wstep: int = 512,
+                                 interpret: bool | None = None,
+                                 layout: str = "hwc"):
+    """[B, H, W, C] same-size frames in one launch — ``jax.vmap`` lifts the
+    batch onto a leading Pallas grid dimension (the per-frame geometry is
+    identical, so the host-built weight vectors are shared)."""
+    imgs = jnp.asarray(imgs_u8)
+    if imgs.ndim != 4:
+        raise ValueError("expected [B, H, W, C] uint8")
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    h, w = imgs.shape[1:3]
+    step_eff = min(step, _round_up(h, 8))
+    wstep_eff = min(wstep, _round_up(w, 128))
+    return jax.vmap(
+        lambda im: _adaptive_resize_pallas(im, int(scale), float(a),
+                                           step_eff, wstep_eff,
+                                           bool(interpret), layout))(imgs)
+
+
 def unpack_planar(packed_u32, h: int, w: int, scale: int, c: int):
     """[S, R_pad, X_pad] channel-packed u32 planar output → HWC uint8.
 

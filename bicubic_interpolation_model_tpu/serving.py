@@ -105,9 +105,17 @@ class Upscaler:
             out = resize_phase_pallas(imgs_u8, int(self.scale), self.method,
                                       a=self.a)
         elif self.method == "adaptive":
-            import jax.numpy as jnp
-            fn = self._fn()
-            out = jnp.stack([fn(im) for im in jnp.asarray(imgs_u8)])
+            imgs = np.asarray(imgs_u8)
+            if jax.default_backend() == "tpu" \
+                    and float(self.scale) == int(self.scale) \
+                    and imgs.dtype == np.uint8 and imgs.shape[-1] == 4:
+                from .ops.pallas_adaptive import adaptive_resize_pallas_batch
+                out = adaptive_resize_pallas_batch(
+                    imgs, int(self.scale), a=self.a)
+            else:
+                import jax.numpy as jnp
+                fn = self._fn()
+                out = jnp.stack([fn(im) for im in jnp.asarray(imgs_u8)])
         else:
             from .ops.resize import resize_batch
             out = resize_batch(imgs_u8, self.scale, self.method,

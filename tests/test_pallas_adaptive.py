@@ -77,3 +77,13 @@ def test_adaptive_hwc32_layout_matches_hwc(rng):
                                               layout="hwc32"))
     assert out32.dtype == np.uint32 and out32.shape == (64, 128)
     np.testing.assert_array_equal(rgba32_to_hwc_np(out32, 64, 128), hwc)
+
+
+def test_adaptive_batched_matches_per_frame(rng):
+    from bicubic_interpolation_model_tpu.ops.pallas_adaptive import (
+        adaptive_resize_pallas_batch)
+    imgs = np.stack([random_image(rng, 10, 12) for _ in range(3)])
+    b = np.asarray(adaptive_resize_pallas_batch(imgs, 4, step=8, wstep=128))
+    for i in range(3):
+        s = np.asarray(adaptive_resize_pallas(imgs[i], 4, step=8, wstep=128))
+        np.testing.assert_array_equal(b[i], s)
