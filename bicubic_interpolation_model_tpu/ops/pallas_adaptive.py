@@ -84,7 +84,8 @@ def _axis_vectors(n_in: int, scale: int, a: float):
 
 def _adaptive_kernel(wy_ref, wye_ref, wx_ref,
                      xa, xb, xc, xd, la, lb, lc, ld_,
-                     out_ref, fs_ref, *, scale, step, wstep, c):
+                     out_ref, fs_ref, *, scale, step, wstep, c,
+                     i_hi):
     s = scale
     n_cx = 2 if s > 1 else 1
     cys = (0, 1) if s > 1 else (0,)
@@ -146,41 +147,65 @@ def _adaptive_kernel(wy_ref, wye_ref, wx_ref,
         xwins.append(xw.astype(jnp.int32).astype(jnp.float32))
 
     # ---- phase B: S*S phase planes at LR resolution (5 live accs each);
-    # cy static per q; one sublane stack interleaves the row phases ----
-    for px in range(s):
-        cx = 1 if (n_cx == 2 and px / s >= 0.5) else 0
-        qplanes = []
-        for q in range(s):
-            kcy = 1 if (s > 1 and q / s >= 0.5) else 0
-            wsum = None
-            accs = [None] * c
-            for m in range(4):
-                xcols = [xwins[ch][:, m + 1:m + 1 + wstep]
-                         for ch in range(c)]
-                wxv = wx_ref[px * 4 + m:px * 4 + m + 1, :]
-                wxev = wx_ref[(s + px) * 4 + m:(s + px) * 4 + m + 1, :]
-                for n in range(4):
-                    f = fs_ref[((cx * 4 + n) * 4 + m) * n_cy + kcy]
-                    wyv = wy_ref[:, q * 4 + n][:, None]     # [step, 1]
-                    wyev = wye_ref[:, q * 4 + n][:, None]
-                    g1 = wyv * f
-                    g2 = wyev - wyev * f
-                    wgt = g1 * wxv + g2 * wxev
-                    wsum = wgt if wsum is None else wsum + wgt
-                    for ch in range(c):
-                        tap = xcols[ch][n + 1:n + 1 + step]
-                        t = wgt * tap
-                        accs[ch] = t if accs[ch] is None else accs[ch] + t
-            rec = 1.0 / wsum
-            packed = None
-            for ch in range(c):
-                v = jnp.clip((accs[ch] * rec + 0.5).astype(jnp.int32),
-                             0, 255).astype(jnp.uint32)
-                word = v if ch == 0 else (v << (8 * ch))
-                packed = word if packed is None else packed | word
-            qplanes.append(packed)
-        # row-phase interleave on SUBLANES: [step, S, wstep] → [step*S, wstep]
-        out_ref[px] = jnp.stack(qplanes, axis=1).reshape(step * s, wstep)
+    # cy static per q; one sublane stack interleaves the row phases.
+    # For ROW-INTERIOR tiles the Y-exemption vector wye[:, q*4+n] is
+    # identically zero except at the static center tap n == cy(q)+1 (the
+    # clamped tap position equals the clamped center position only there),
+    # so the whole G2 term is skipped for the other 12 of 16 taps —
+    # selected per tile with pl.when on the row program id (measured
+    # 5.06 -> 4.88 ms at 1080p->4x planar; PERF_NOTES item 7). Column-side eq stays data-driven (wxev). --
+    def phase_b(skip_eq_rows):
+        for px in range(s):
+            cx = 1 if (n_cx == 2 and px / s >= 0.5) else 0
+            qplanes = []
+            for q in range(s):
+                kcy = 1 if (s > 1 and q / s >= 0.5) else 0
+                wsum = None
+                accs = [None] * c
+                for m in range(4):
+                    xcols = [xwins[ch][:, m + 1:m + 1 + wstep]
+                             for ch in range(c)]
+                    wxv = wx_ref[px * 4 + m:px * 4 + m + 1, :]
+                    wxev = wx_ref[(s + px) * 4 + m:(s + px) * 4 + m + 1, :]
+                    for n in range(4):
+                        f = fs_ref[((cx * 4 + n) * 4 + m) * n_cy + kcy]
+                        wyv = wy_ref[:, q * 4 + n][:, None]   # [step, 1]
+                        g1 = wyv * f
+                        if skip_eq_rows and n != kcy + 1:
+                            wgt = g1 * wxv
+                        else:
+                            wyev = wye_ref[:, q * 4 + n][:, None]
+                            g2 = wyev - wyev * f
+                            wgt = g1 * wxv + g2 * wxev
+                        wsum = wgt if wsum is None else wsum + wgt
+                        for ch in range(c):
+                            tap = xcols[ch][n + 1:n + 1 + step]
+                            t = wgt * tap
+                            accs[ch] = t if accs[ch] is None else accs[ch] + t
+                rec = 1.0 / wsum
+                packed = None
+                for ch in range(c):
+                    v = jnp.clip((accs[ch] * rec + 0.5).astype(jnp.int32),
+                                 0, 255).astype(jnp.uint32)
+                    word = v if ch == 0 else (v << (8 * ch))
+                    packed = word if packed is None else packed | word
+                qplanes.append(packed)
+            # row-phase interleave on SUBLANES: [step,S,wstep] → [step*S,wstep]
+            out_ref[px] = jnp.stack(qplanes, axis=1).reshape(step * s, wstep)
+
+    if i_hi <= 1:
+        phase_b(False)
+    else:
+        ii = pl.program_id(0)
+        interior = (ii >= 1) & (ii < i_hi)
+
+        @pl.when(interior)
+        def _():
+            phase_b(True)
+
+        @pl.when(jnp.logical_not(interior))
+        def _():
+            phase_b(False)
 
 
 def row_vectors(h: int, s: int, a: float, pad_to: int):
@@ -209,7 +234,7 @@ def col_vectors(w: int, s: int, a: float, pad_to: int):
 
 
 def _adaptive_dispatch(xp, lp, wy, wye, wx, *, s, step, wstep, c,
-                       n_i, n_j, interpret):
+                       n_i, n_j, interpret, i_hi=0):
     """The pallas call. ``xp`` [C, rows_pad, cols_pad] u8 and ``lp``
     [1, rows_pad, cols_pad] f32 carry ``_LEFT`` leading halo rows/cols and
     enough trailing rows/cols for the (i+1, j+1) halo blocks; the weight
@@ -219,7 +244,7 @@ def _adaptive_dispatch(xp, lp, wy, wye, wx, *, s, step, wstep, c,
     n_cx = 2 if s > 1 else 1
     n_cy = 2 if s > 1 else 1
     kernel = functools.partial(_adaptive_kernel, scale=s, step=step,
-                               wstep=wstep, c=c)
+                               wstep=wstep, c=c, i_hi=i_hi)
     x_spec = lambda di, dj: pl.BlockSpec(
         (c, step, wstep), lambda i, j: (0, i + di, j + dj),
         memory_space=pltpu.VMEM)
@@ -246,6 +271,11 @@ def _adaptive_dispatch(xp, lp, wy, wye, wx, *, s, step, wstep, c,
             (s, n_i * step * s, n_j * wstep), jnp.uint32),
         scratch_shapes=[
             pltpu.VMEM((16 * n_cx * n_cy, step, wstep), jnp.float32)],
+        # the two pl.when phase-B variants (eq-skip) are allocated
+        # conservatively by Mosaic; the default 16 MB scoped-vmem limit is
+        # ~3% short at wstep=512 — raise it (v5e has 128 MB VMEM)
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=48 * 1024 * 1024),
         interpret=interpret,
     )(wy, wye, wx, xp, xp, xp, xp, lp, lp, lp, lp)
 
@@ -272,9 +302,12 @@ def _adaptive_resize_pallas(img, scale: int, a: float, step: int, wstep: int,
     lp = jnp.pad(luma, ((_LEFT, (n_i + 1) * step - h - _LEFT),
                         (_LEFT, (n_j + 1) * wstep - w - _LEFT)),
                  mode="edge")[None]
+    # row-interior tiles (no clamped-tap collisions beyond the static
+    # center): rows 1 .. h-3 inclusive → tiles 1 .. (h-2)//step - 1
     out = _adaptive_dispatch(xp, lp, wy, wye, wx, s=s, step=step,
                              wstep=wstep, c=c, n_i=n_i, n_j=n_j,
-                             interpret=interpret)
+                             interpret=interpret,
+                             i_hi=max(0, (h - 2) // step))
     if layout == "planar":
         return out
     if layout == "hwc32":
