@@ -41,20 +41,26 @@ def _interleave_kernel(in_ref, out_ref, *, s, rt, xt):
     out_ref[...] = stacked.T                              # [rt, xt*s]
 
 
+def _tile_div(n: int, cap: int) -> int:
+    """Largest divisor of ``n`` that is <= ``cap`` (>=1 always exists)."""
+    for t in range(min(cap, n), 0, -1):
+        if n % t == 0:
+            return t
+    return 1
+
+
 @functools.partial(jax.jit, static_argnames=("rt", "xt", "interpret"))
 def interleave_planar_u32(planar_u32, *, rt: int = 32, xt: int = 128,
                           interpret: bool | None = None):
     """[S, R, X] u32 planar → [R, X*S] u32 with word (r, X*S+px) =
-    planar[px, r, X]. R must divide by ``rt`` and X by ``xt`` (the adaptive
-    kernel's padded extents do; otherwise pick divisors)."""
+    planar[px, r, X]. ``rt``/``xt`` are tile-size *caps*: the actual tiles
+    are the largest divisors of R and X under them, so any padded extents
+    work (odd scales produce R not divisible by 32 — ADVICE r2 item 1)."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     s, r, x = planar_u32.shape
-    rt = min(rt, r)
-    xt = min(xt, x)
-    if r % rt or x % xt:
-        raise ValueError(f"extents ({r}, {x}) must divide by tiles "
-                         f"({rt}, {xt})")
+    rt = _tile_div(r, rt)
+    xt = _tile_div(x, xt)
     return pl.pallas_call(
         functools.partial(_interleave_kernel, s=s, rt=rt, xt=xt),
         grid=(r // rt, x // xt),

@@ -24,6 +24,18 @@ import jax
 import numpy as np
 
 
+def _fetch(out):
+    """Materialize a serving result on the host as HWC uint8.
+
+    RGBA32 results (2-D uint32, the adaptive TPU fast path) are fetched and
+    byte-viewed as HWC; everything else is a plain ``np.asarray``."""
+    a = np.asarray(out)
+    if a.dtype == np.uint32 and a.ndim == 2:
+        from .ops.pallas_interleave import rgba32_to_hwc_np
+        return rgba32_to_hwc_np(a, a.shape[0], a.shape[1])
+    return a
+
+
 @dataclasses.dataclass
 class Upscaler:
     """``bucket``: round frame extents up to multiples of this many LR
@@ -50,24 +62,28 @@ class Upscaler:
         if method == "adaptive":
             from .ops.adaptive import adaptive_resize
             aimpl = "auto" if impl in ("auto", "pallas_phase") else impl
+            if float(scale) != int(scale):
+                raise ValueError(
+                    "adaptive bicubic supports integer scales only "
+                    f"(got {scale!r}); truncating would silently change "
+                    "the output size (ADVICE r2 item 2)")
             s = int(scale)
             use_hwc32 = (aimpl == "auto"
-                         and jax.default_backend() == "tpu"
-                         and float(scale) == s)
+                         and jax.default_backend() == "tpu")
 
             def f(img):
                 img = np.asarray(img)
                 if use_hwc32 and img.ndim == 3 and img.shape[-1] == 4 \
                         and img.dtype == np.uint8:
                     # RGBA32 device layout (22x cheaper than the device u8
-                    # HWC epilogue); the fetched words VIEW as HWC bytes
+                    # HWC epilogue). Returned as the DEVICE uint32 array —
+                    # conversion to host HWC bytes happens at fetch time
+                    # (`_fetch`), so ``fetch=False`` keeps its device-array
+                    # contract and ``stream`` keeps its dispatch/fetch
+                    # overlap (ADVICE r2 item 3).
                     from .ops.pallas_adaptive import adaptive_resize_pallas
-                    from .ops.pallas_interleave import rgba32_to_hwc_np
-                    h, w = img.shape[:2]
-                    out32 = adaptive_resize_pallas(img, s, a=a,
-                                                   layout="hwc32")
-                    return rgba32_to_hwc_np(np.asarray(out32),
-                                            h * s, w * s)
+                    return adaptive_resize_pallas(img, s, a=a,
+                                                  layout="hwc32")
                 return adaptive_resize(img, s, a=a, impl=aimpl)
             return f
         from .ops.resize import resize
@@ -92,8 +108,12 @@ class Upscaler:
         return self._fn()(img)
 
     def __call__(self, img_u8, fetch: bool = True):
+        """``fetch=True`` returns a host HWC uint8 array. ``fetch=False``
+        returns the device result for chaining — for the adaptive TPU path
+        that is the RGBA32 uint32 array (pass it to :func:`_fetch` or view
+        the bytes yourself when materializing)."""
         out = self._bucketed(img_u8) if self.bucket else self._fn()(img_u8)
-        return np.asarray(out) if fetch else out
+        return _fetch(out) if fetch else out
 
     def batch(self, imgs_u8, fetch: bool = True):
         """[B, H, W, C] same-size images in one kernel launch."""
@@ -133,10 +153,10 @@ class Upscaler:
         for frame in frames:
             out = fn(frame)
             if pending is not None:
-                yield np.asarray(pending)
+                yield _fetch(pending)
             pending = out
         if pending is not None:
-            yield np.asarray(pending)
+            yield _fetch(pending)
 
 
 @dataclasses.dataclass

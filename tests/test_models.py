@@ -181,7 +181,8 @@ def test_adaptive_targets_training_smoke(rng):
 def test_packed_inference_matches_fused(rng):
     """The phase-packed WeightPredictor path (models/inference.
     _super_resolve_packed) agrees with the generic fused predict+apply
-    program to <=1 u8 LSB (same ops, different association order)."""
+    program to <=2 u8 LSB (same ops, different association order;
+    the bound asserted below and documented in models/inference.py)."""
     import pathlib
 
     from bicubic_interpolation_model_tpu.evaluation.model_analysis import (

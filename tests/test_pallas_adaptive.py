@@ -87,3 +87,17 @@ def test_adaptive_batched_matches_per_frame(rng):
     for i in range(3):
         s = np.asarray(adaptive_resize_pallas(imgs[i], 4, step=8, wstep=128))
         np.testing.assert_array_equal(b[i], s)
+
+
+def test_adaptive_hwc32_odd_scale_geometry(rng):
+    """ADVICE r2 item 1: odd scales produce padded planar extents not
+    divisible by the default interleave tiles; the tile caps must fall back
+    to divisors instead of raising (h=40, scale=3 reproduced the crash)."""
+    from bicubic_interpolation_model_tpu.ops.pallas_interleave import (
+        rgba32_to_hwc_np)
+    img = random_image(rng, 40, 24)
+    hwc = np.asarray(adaptive_resize_pallas(img, 3, step=8, wstep=128))
+    out32 = np.asarray(adaptive_resize_pallas(img, 3, step=8, wstep=128,
+                                              layout="hwc32"))
+    assert out32.dtype == np.uint32 and out32.shape == (120, 72)
+    np.testing.assert_array_equal(rgba32_to_hwc_np(out32, 120, 72), hwc)

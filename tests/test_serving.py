@@ -119,3 +119,24 @@ def test_upscaler_adaptive_method(rng):
         np.stack([img, img])).astype(np.int64)
     assert b.shape == (2,) + want.shape
     assert np.abs(b[0] - want).max() <= 1
+
+
+def test_upscaler_adaptive_rejects_non_integer_scale():
+    """ADVICE r2 item 2: Upscaler(method='adaptive', scale=2.5) must raise,
+    not silently truncate to a 2x output."""
+    with pytest.raises(ValueError, match="integer"):
+        Upscaler(scale=2.5, method="adaptive")(np.zeros((8, 8, 4), np.uint8))
+
+
+def test_serving_fetch_materializes_rgba32():
+    """serving._fetch views 2-D uint32 results (the adaptive TPU fast path)
+    as HWC bytes and passes everything else through (ADVICE r2 item 3)."""
+    from bicubic_interpolation_model_tpu.serving import _fetch
+    rng = np.random.default_rng(0)
+    words = rng.integers(0, 2**32, (6, 8), dtype=np.uint64).astype(np.uint32)
+    hwc = _fetch(words)
+    assert hwc.shape == (6, 8, 4) and hwc.dtype == np.uint8
+    np.testing.assert_array_equal(
+        hwc, words[..., None].view(np.uint8).reshape(6, 8, 4))
+    plain = rng.integers(0, 255, (6, 8, 4), dtype=np.int64).astype(np.uint8)
+    np.testing.assert_array_equal(_fetch(plain), plain)
