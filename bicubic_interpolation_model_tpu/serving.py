@@ -24,11 +24,33 @@ import jax
 import numpy as np
 
 
+@dataclasses.dataclass
+class _FlatFrame:
+    """Internal deferred result: a device ``layout='flat'`` frame from the
+    banded-matmul kernel plus the geometry to view its bytes as HWC."""
+
+    dev: object
+    h_out: int
+    w_out: int
+    c: int
+    out_c: int
+
+    def to_hwc(self):
+        from .ops.pallas_mxu import flat_to_hwc_np
+        a = np.asarray(self.dev)
+        if a.ndim == 3:
+            a = a[0]
+        return flat_to_hwc_np(a, self.h_out, self.w_out, self.c, self.out_c)
+
+
 def _fetch(out):
     """Materialize a serving result on the host as HWC uint8.
 
     RGBA32 results (2-D uint32, the adaptive TPU fast path) are fetched and
-    byte-viewed as HWC; everything else is a plain ``np.asarray``."""
+    byte-viewed as HWC; flat frames (the separable TPU fast path) are
+    fetched and stride-viewed; everything else is a plain ``np.asarray``."""
+    if isinstance(out, _FlatFrame):
+        return out.to_hwc()
     a = np.asarray(out)
     if a.dtype == np.uint32 and a.ndim == 2:
         from .ops.pallas_interleave import rgba32_to_hwc_np
@@ -45,8 +67,13 @@ class Upscaler:
     program as data — padded rows/cols have zero weight, so bucketed output
     equals unbucketed byte-for-byte. Per-size weight arrays are cached
     device-resident on this instance, so steady-state streams upload only
-    the frame itself. Integer scales only (non-integer scales fall back to
-    exact per-shape compilation)."""
+    the frame itself.
+
+    On TPU, separable methods route through the banded-matmul kernel
+    (ops/pallas_mxu): direct u8 HWC delivery at the planar headline's
+    speed, for integer AND small-rational scales (1.5x, 2.5x, ...).
+    Unsupported combinations fall back to the phase kernel (integer
+    scales) or exact per-shape XLA programs."""
 
     scale: int = 4
     method: str = "bicubic"
@@ -92,6 +119,36 @@ class Upscaler:
             return resize(img, scale, method, impl=impl, a=a)
         return f
 
+    def _mxu_ok(self, img) -> bool:
+        """Route through the banded-matmul kernel (ops/pallas_mxu): the
+        fastest delivered-HWC path, covering integer AND rational scales.
+        Auto on TPU; ``impl='pallas_mxu'`` forces it (interpret on CPU)."""
+        from .ops.pallas_mxu import mxu_supported
+        if self.impl not in ("auto", "pallas_mxu") or self.method == "adaptive":
+            return False
+        if self.impl != "pallas_mxu" and jax.default_backend() != "tpu":
+            return False
+        if img.dtype != np.uint8 or img.ndim not in (3, 4):
+            return False
+        return mxu_supported(self.scale, img.shape[-1], self.method)
+
+    def _mxu(self, img, deferred: bool):
+        """One frame through the banded-matmul kernel. ``deferred=True``
+        returns a :class:`_FlatFrame` (zero-cost layout; HWC bytes viewed at
+        fetch time); otherwise the exact device HWC array."""
+        from .core.plan import out_size
+        from .ops.pallas_mxu import resize_mxu
+        interp = jax.default_backend() != "tpu"
+        h, w, c = img.shape
+        kw = dict(a=self.a, bucket=self.bucket,
+                  weight_cache=self._weight_cache, interpret=interp)
+        if deferred and c in (1, 2, 4):
+            dev = resize_mxu(img[None], self.scale, self.method,
+                             layout="flat", **kw)
+            return _FlatFrame(dev, out_size(h, float(self.scale)),
+                              out_size(w, float(self.scale)), c, c)
+        return resize_mxu(img, self.scale, self.method, **kw)
+
     def _bucketed(self, img_u8):
         img = np.asarray(img_u8)
         h, w = img.shape[:2]
@@ -112,12 +169,23 @@ class Upscaler:
         returns the device result for chaining — for the adaptive TPU path
         that is the RGBA32 uint32 array (pass it to :func:`_fetch` or view
         the bytes yourself when materializing)."""
-        out = self._bucketed(img_u8) if self.bucket else self._fn()(img_u8)
+        img = np.asarray(img_u8)
+        if img.ndim == 3 and self._mxu_ok(img):
+            out = self._mxu(img, deferred=fetch)
+            return _fetch(out) if fetch else out
+        out = self._bucketed(img) if self.bucket else self._fn()(img)
         return _fetch(out) if fetch else out
 
     def batch(self, imgs_u8, fetch: bool = True):
         """[B, H, W, C] same-size images in one kernel launch."""
         from .ops.pallas_phase import resize_phase_pallas
+        imgs_np = np.asarray(imgs_u8)
+        if imgs_np.ndim == 4 and self._mxu_ok(imgs_np):
+            from .ops.pallas_mxu import resize_mxu
+            out = resize_mxu(imgs_np, self.scale, self.method, a=self.a,
+                             weight_cache=self._weight_cache,
+                             interpret=jax.default_backend() != "tpu")
+            return np.asarray(out) if fetch else out
         if self.impl in ("auto", "pallas_phase") \
                 and self.method != "adaptive" \
                 and jax.default_backend() == "tpu" \
@@ -147,8 +215,13 @@ class Upscaler:
         """Software-pipelined stream: dispatch frame i, then fetch frame i-1
         — keeps the device busy while results cross the host link. Honors
         ``bucket`` so variable-size streams reuse compiled programs."""
-        fn = self._bucketed if self.bucket else \
-            (lambda f: self._fn()(jax.device_put(np.asarray(f))))
+        def fn(frame):
+            img = np.asarray(frame)
+            if img.ndim == 3 and self._mxu_ok(img):
+                return self._mxu(img, deferred=True)
+            if self.bucket:
+                return self._bucketed(img)
+            return self._fn()(jax.device_put(img))
         pending = None
         for frame in frames:
             out = fn(frame)

@@ -140,3 +140,45 @@ def test_serving_fetch_materializes_rgba32():
         hwc, words[..., None].view(np.uint8).reshape(6, 8, 4))
     plain = rng.integers(0, 255, (6, 8, 4), dtype=np.int64).astype(np.uint8)
     np.testing.assert_array_equal(_fetch(plain), plain)
+
+
+def test_upscaler_mxu_route_single_and_stream(rng):
+    """impl='pallas_mxu' forces the banded-matmul serving route (auto on
+    TPU): fetched results view the flat device layout as HWC bytes."""
+    up = Upscaler(scale=4, impl="pallas_mxu")
+    img = random_image(rng, 12, 10)
+    out = up(img)
+    assert out.shape == (48, 40, 4) and out.dtype == np.uint8
+    assert_u8_parity(out, resize_oracle(img, 4.0, "bicubic"))
+    dev = up(img, fetch=False)                 # exact device HWC contract
+    assert dev.shape == (48, 40, 4)
+    np.testing.assert_array_equal(np.asarray(dev), out)
+    outs = list(up.stream([img, img]))
+    assert all(o.shape == (48, 40, 4) for o in outs)
+    np.testing.assert_array_equal(outs[0], out)
+
+
+def test_upscaler_mxu_route_rational_scale(rng):
+    up = Upscaler(scale=2.5, impl="pallas_mxu")
+    img = random_image(rng, 16, 20)
+    out = up(img)
+    assert out.shape == (40, 50, 4)
+    assert_u8_parity(out, resize_oracle(img, 2.5, "bicubic"))
+
+
+def test_upscaler_mxu_route_bucketed(rng):
+    up = Upscaler(scale=4, impl="pallas_mxu", bucket=16)
+    for (h, w) in [(12, 10), (9, 14)]:
+        img = random_image(rng, h, w)
+        out = up(img)
+        assert out.shape == (h * 4, w * 4, 4)
+        assert_u8_parity(out, resize_oracle(img, 4.0, "bicubic"))
+
+
+def test_upscaler_mxu_route_batch(rng):
+    up = Upscaler(scale=2, impl="pallas_mxu")
+    imgs = np.stack([random_image(rng, 16, 16) for _ in range(3)])
+    outs = up.batch(imgs)
+    assert outs.shape == (3, 32, 32, 4)
+    for i in range(3):
+        assert_u8_parity(outs[i], resize_oracle(imgs[i], 2.0, "bicubic"))
