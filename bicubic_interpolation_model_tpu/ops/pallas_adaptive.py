@@ -82,10 +82,30 @@ def _axis_vectors(n_in: int, scale: int, a: float):
     return w, eq
 
 
+def _exp2_neg(ldm):
+    """exp(-ldm/20) for ldm in [0, 255] via exponent-bit construction.
+
+    2^k with k = -ldm/(20 ln2): split k = floor(k) + r; 2^floor(k) is built
+    by writing floor(k)+127 into the f32 exponent field; 2^r on [0,1) is a
+    degree-3 minimax polynomial. Max |error| on exp(-d/20) over the full
+    domain is 1.07e-4 (4.3e-5 on the 0.4-scaled texture factor) — measured
+    exhaustively in tests/test_pallas_adaptive.py — vs the VPU
+    transcendental's ~0.2 ms/frame at 1080p (PERF_NOTES r3).
+    """
+    k = ldm * (-1.0 / (20.0 * 0.6931471805599453))
+    kf = jnp.floor(k)
+    r = k - kf
+    p = (0.9998929657
+         + r * (0.6964573950 + r * (0.2243383648 + r * 0.0792042402)))
+    e = jax.lax.bitcast_convert_type(
+        (kf.astype(jnp.int32) + 127) << 23, jnp.float32)
+    return e * p
+
+
 def _adaptive_kernel(wy_ref, wye_ref, wx_ref,
                      xa, xb, xc, xd, la, lb, lc, ld_,
                      out_ref, fs_ref, *, scale, step, wstep, c,
-                     i_hi):
+                     i_hi, opaque_alpha=False):
     s = scale
     n_cx = 2 if s > 1 else 1
     cys = (0, 1) if s > 1 else (0,)
@@ -136,13 +156,13 @@ def _adaptive_kernel(wy_ref, wye_ref, wx_ref,
                     ldm = jnp.abs(cl - tl)
                     edge_f = jnp.minimum(1.5, 1.0 + ldm * 0.01)
                     flat_f = jnp.maximum(0.5, 1.0 - ldm * (1.0 / 30.0))
-                    text_f = 0.8 + 0.4 * jnp.exp(ldm * (-1.0 / 20.0))
+                    text_f = 0.8 + 0.4 * _exp2_neg(ldm)
                     f = jnp.where(edm, edge_f,
                                   jnp.where(flm, flat_f, text_f))
                     fs_ref[((cx * 4 + n) * 4 + m) * n_cy + k] = f
 
     xwins = []
-    for ch in range(c):
+    for ch in range(c if not opaque_alpha else 3):
         xw = window(xa, xb, xc, xd, ch)
         xwins.append(xw.astype(jnp.int32).astype(jnp.float32))
 
@@ -164,7 +184,7 @@ def _adaptive_kernel(wy_ref, wye_ref, wx_ref,
                 accs = [None] * c
                 for m in range(4):
                     xcols = [xwins[ch][:, m + 1:m + 1 + wstep]
-                             for ch in range(c)]
+                             for ch in range(len(xwins))]
                     wxv = wx_ref[px * 4 + m:px * 4 + m + 1, :]
                     wxev = wx_ref[(s + px) * 4 + m:(s + px) * 4 + m + 1, :]
                     for n in range(4):
@@ -178,15 +198,21 @@ def _adaptive_kernel(wy_ref, wye_ref, wx_ref,
                             g2 = wyev - wyev * f
                             wgt = g1 * wxv + g2 * wxev
                         wsum = wgt if wsum is None else wsum + wgt
-                        for ch in range(c):
+                        for ch in range(c if not opaque_alpha else 3):
                             tap = xcols[ch][n + 1:n + 1 + step]
                             t = wgt * tap
                             accs[ch] = t if accs[ch] is None else accs[ch] + t
                 rec = 1.0 / wsum
                 packed = None
                 for ch in range(c):
-                    v = jnp.clip((accs[ch] * rec + 0.5).astype(jnp.int32),
-                                 0, 255).astype(jnp.uint32)
+                    if opaque_alpha and ch == 3:
+                        # constant-alpha frames: round(255*wsum/wsum) == 255
+                        # exactly, so the 4th channel's 16-tap FMA chain is
+                        # skipped (~14% of kernel time — PERF_NOTES r3)
+                        v = jnp.full(accs[0].shape, 255, jnp.uint32)
+                    else:
+                        v = jnp.clip((accs[ch] * rec + 0.5).astype(jnp.int32),
+                                     0, 255).astype(jnp.uint32)
                     word = v if ch == 0 else (v << (8 * ch))
                     packed = word if packed is None else packed | word
                 qplanes.append(packed)
@@ -234,7 +260,7 @@ def col_vectors(w: int, s: int, a: float, pad_to: int):
 
 
 def _adaptive_dispatch(xp, lp, wy, wye, wx, *, s, step, wstep, c,
-                       n_i, n_j, interpret, i_hi=0):
+                       n_i, n_j, interpret, i_hi=0, opaque_alpha=False):
     """The pallas call. ``xp`` [C, rows_pad, cols_pad] u8 and ``lp``
     [1, rows_pad, cols_pad] f32 carry ``_LEFT`` leading halo rows/cols and
     enough trailing rows/cols for the (i+1, j+1) halo blocks; the weight
@@ -244,7 +270,8 @@ def _adaptive_dispatch(xp, lp, wy, wye, wx, *, s, step, wstep, c,
     n_cx = 2 if s > 1 else 1
     n_cy = 2 if s > 1 else 1
     kernel = functools.partial(_adaptive_kernel, scale=s, step=step,
-                               wstep=wstep, c=c, i_hi=i_hi)
+                               wstep=wstep, c=c, i_hi=i_hi,
+                               opaque_alpha=opaque_alpha and c == 4)
     x_spec = lambda di, dj: pl.BlockSpec(
         (c, step, wstep), lambda i, j: (0, i + di, j + dj),
         memory_space=pltpu.VMEM)
@@ -281,9 +308,11 @@ def _adaptive_dispatch(xp, lp, wy, wye, wx, *, s, step, wstep, c,
 
 
 @functools.partial(jax.jit, static_argnames=("scale", "a", "step", "wstep",
-                                             "interpret", "layout"))
+                                             "interpret", "layout",
+                                             "opaque_alpha"))
 def _adaptive_resize_pallas(img, scale: int, a: float, step: int, wstep: int,
-                            interpret: bool, layout: str = "hwc"):
+                            interpret: bool, layout: str = "hwc",
+                            opaque_alpha: bool = False):
     h, w, c = img.shape
     s = int(scale)
     n_i = _round_up(h, step) // step
@@ -307,7 +336,8 @@ def _adaptive_resize_pallas(img, scale: int, a: float, step: int, wstep: int,
     out = _adaptive_dispatch(xp, lp, wy, wye, wx, s=s, step=step,
                              wstep=wstep, c=c, n_i=n_i, n_j=n_j,
                              interpret=interpret,
-                             i_hi=max(0, (h - 2) // step))
+                             i_hi=max(0, (h - 2) // step),
+                             opaque_alpha=opaque_alpha)
     if layout == "planar":
         return out
     if layout == "hwc32":
@@ -320,10 +350,14 @@ def _adaptive_resize_pallas(img, scale: int, a: float, step: int, wstep: int,
 def adaptive_resize_pallas_batch(imgs_u8, scale: int, a: float = -0.5, *,
                                  step: int = 16, wstep: int = 512,
                                  interpret: bool | None = None,
-                                 layout: str = "hwc"):
+                                 layout: str = "hwc",
+                                 opaque_alpha: bool | None = None):
     """[B, H, W, C] same-size frames in one launch — ``jax.vmap`` lifts the
     batch onto a leading Pallas grid dimension (the per-frame geometry is
     identical, so the host-built weight vectors are shared)."""
+    opaque_alpha = _detect_opaque_alpha(np.asarray(imgs_u8)
+                                        if isinstance(imgs_u8, np.ndarray)
+                                        else imgs_u8, opaque_alpha)
     imgs = jnp.asarray(imgs_u8)
     if imgs.ndim != 4:
         raise ValueError("expected [B, H, W, C] uint8")
@@ -335,7 +369,8 @@ def adaptive_resize_pallas_batch(imgs_u8, scale: int, a: float = -0.5, *,
     return jax.vmap(
         lambda im: _adaptive_resize_pallas(im, int(scale), float(a),
                                            step_eff, wstep_eff,
-                                           bool(interpret), layout))(imgs)
+                                           bool(interpret), layout,
+                                           opaque_alpha=opaque_alpha))(imgs)
 
 
 def unpack_planar(packed_u32, h: int, w: int, scale: int, c: int):
@@ -354,10 +389,22 @@ def unpack_planar(packed_u32, h: int, w: int, scale: int, c: int):
     return o[..., :c].reshape(h * s, w * s, c)
 
 
+def _detect_opaque_alpha(img, opaque_alpha):
+    """Resolve the ``opaque_alpha`` tri-state: None auto-detects on HOST
+    arrays only (device arrays would need a fetch; callers that know the
+    alpha channel is constant 255 pass True explicitly)."""
+    if opaque_alpha is not None:
+        return bool(opaque_alpha)
+    if isinstance(img, np.ndarray) and img.ndim >= 3 and img.shape[-1] == 4:
+        return bool((img[..., 3] == 255).all())
+    return False
+
+
 def adaptive_resize_pallas(img_u8, scale: int, a: float = -0.5, *,
                            step: int = 16, wstep: int = 512,
                            interpret: bool | None = None,
-                           layout: str = "hwc"):
+                           layout: str = "hwc",
+                           opaque_alpha: bool | None = None):
     """Fused adaptive-bicubic SR of an HWC uint8 image (integer scale).
 
     Layouts:
@@ -373,6 +420,7 @@ def adaptive_resize_pallas(img_u8, scale: int, a: float = -0.5, *,
     """
     if float(scale) != int(scale) or scale < 1:
         raise ValueError("adaptive pallas path requires an integer upscale")
+    opaque_alpha = _detect_opaque_alpha(img_u8, opaque_alpha)
     img = jnp.asarray(img_u8)
     if img.dtype != jnp.uint8 or img.ndim != 3:
         raise ValueError("adaptive_resize_pallas expects HWC uint8")
@@ -385,4 +433,5 @@ def adaptive_resize_pallas(img_u8, scale: int, a: float = -0.5, *,
     step_eff = min(step, _round_up(h, 8))
     wstep_eff = min(wstep, _round_up(w, 128))
     return _adaptive_resize_pallas(img, int(scale), float(a), step_eff,
-                                   wstep_eff, bool(interpret), layout)
+                                   wstep_eff, bool(interpret), layout,
+                                   opaque_alpha=opaque_alpha)

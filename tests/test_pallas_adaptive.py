@@ -101,3 +101,42 @@ def test_adaptive_hwc32_odd_scale_geometry(rng):
                                               layout="hwc32"))
     assert out32.dtype == np.uint32 and out32.shape == (120, 72)
     np.testing.assert_array_equal(rgba32_to_hwc_np(out32, 120, 72), hwc)
+
+
+def test_adaptive_varying_alpha_parity(rng):
+    """A non-constant alpha channel must disable the alpha-skip fast path
+    and still match the f64 oracle."""
+    from bicubic_interpolation_model_tpu.core.oracle import (
+        adaptive_bicubic_oracle)
+    img = random_image(rng, 12, 16)
+    img[..., 3] = rng.integers(0, 256, img.shape[:2], dtype=np.uint8)
+    got = np.asarray(adaptive_resize_pallas(img, 2, step=8, wstep=128))
+    want = adaptive_bicubic_oracle(img, 2)
+    assert np.abs(got.astype(np.int64) - want.astype(np.int64)).max() <= 1
+
+
+def test_adaptive_opaque_alpha_exact_vs_computed(rng):
+    """On constant-alpha frames the skipped 4th channel equals the computed
+    one bit-for-bit (round(255*wsum/wsum) == 255)."""
+    img = random_image(rng, 12, 16)          # alpha == 255
+    fast = np.asarray(adaptive_resize_pallas(img, 2, step=8, wstep=128,
+                                             opaque_alpha=True))
+    full = np.asarray(adaptive_resize_pallas(img, 2, step=8, wstep=128,
+                                             opaque_alpha=False))
+    np.testing.assert_array_equal(fast, full)
+
+
+def test_exp2_texture_law_error_bound():
+    """Host replication of the kernel's exponent-bit exp(-d/20): max abs
+    error over the full luma-diff domain stays under 1.1e-4 (4.3e-5 on the
+    0.4-scaled texture factor) — the bound PERF_NOTES quotes."""
+    d = np.linspace(0, 255, 1_000_001)
+    k = (d.astype(np.float32) * np.float32(-1 / (20 * np.log(2))))
+    kf = np.floor(k)
+    r = (k - kf).astype(np.float32)
+    p = (np.float32(0.9998929657)
+         + r * (np.float32(0.6964573950)
+                + r * (np.float32(0.2243383648)
+                       + r * np.float32(0.0792042402))))
+    e = np.ldexp(np.float32(1.0), kf.astype(np.int64)).astype(np.float32) * p
+    assert np.abs(e - np.exp(-d / 20)).max() < 1.1e-4
