@@ -19,17 +19,29 @@ from ..data import binfmt
 
 
 def _load_model_any(model_dir):
+    """Load any shipped checkpoint: TFJS imports, WeightPredictor natives,
+    and direct-regression models (dispatched via meta.json's "model" key
+    against models.espcn.MODEL_ZOO)."""
     d = pathlib.Path(model_dir)
     if (d / "model.json").exists():
         from ..models.tfjs_import import load_weight_predictor
         return load_weight_predictor(d)
     import jax
-    from ..models.weight_predictor import init_params
     from ..train import checkpoint
-    scale = 4
+    meta = {}
     meta_path = d / "meta.json"
     if meta_path.exists():
-        scale = int(json.loads(meta_path.read_text()).get("scale", 4))
+        meta = json.loads(meta_path.read_text())
+    scale = int(meta.get("scale", 4))
+    from ..models.espcn import MODEL_ZOO
+    name = meta.get("model", "WeightPredictor")
+    if name in MODEL_ZOO:
+        model = MODEL_ZOO[name](scale=scale)
+        template = model.init(jax.random.key(0),
+                              np.zeros((1, 8, 8, 3), np.float32))
+        params, _ = checkpoint.load(d, template)
+        return model, params
+    from ..models.weight_predictor import init_params
     model, template = init_params(jax.random.key(0), scale=scale)
     params, _ = checkpoint.load(d, template)
     return model, params

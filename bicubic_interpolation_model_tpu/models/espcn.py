@@ -72,9 +72,16 @@ def _esrgan_plus(scale=4):
     return ESRGANLite(scale=scale, features=96, growth=48, n_blocks=8)
 
 
+def _srresnet_tpu(scale=4):
+    from .srresnet_tpu import SRResNetTPU
+    # the MXU-shaped flagship: 128-lane convs, LR-resolution-only body
+    return SRResNetTPU(scale=scale, features=128, n_blocks=6)
+
+
 MODEL_ZOO = {
     "espcn_medium": lambda scale=4: ESPCN(scale=scale),
     "espcn_thick": lambda scale=4: ESPCNResidual(scale=scale),
     "esrgan_lite": _esrgan_lite,
     "esrgan_plus": _esrgan_plus,
+    "srresnet_tpu": _srresnet_tpu,
 }

