@@ -88,7 +88,7 @@ def cmd_sr(args):
         model, params = _load_model(args.model_dir)
         fn = lambda: super_resolve(model, params, lr, scale=int(scale))
     elif method in ("espcn_medium", "espcn_thick", "esrgan_lite",
-                    "esrgan_plus"):
+                    "esrgan_plus", "srresnet_tpu"):
         from ..models.espcn import MODEL_ZOO
         from ..models.inference import super_resolve_direct
         from ..train import checkpoint
@@ -323,10 +323,11 @@ def build_parser():
     sp.add_argument("--resume", help="checkpoint dir to resume from")
     sp.set_defaults(func=cmd_train)
 
-    sp = sub.add_parser("train-sr", help="train an ESPCN-family SR baseline")
+    sp = sub.add_parser("train-sr", help="train a direct SR model "
+                                         "(ESPCN/ESRGAN/SRResNetTPU family)")
     sp.add_argument("--model", default="espcn_medium",
                     choices=("espcn_medium", "espcn_thick", "esrgan_lite",
-                             "esrgan_plus"))
+                             "esrgan_plus", "srresnet_tpu"))
     sp.add_argument("--hr-dir", required=True)
     sp.add_argument("--lr", type=float, default=1e-3)
     sp.add_argument("--epochs", type=int, default=50)

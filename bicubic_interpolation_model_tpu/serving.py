@@ -211,10 +211,25 @@ class Upscaler:
                                a=self.a)
         return np.asarray(out) if fetch else out
 
-    def stream(self, frames: Iterable[np.ndarray]) -> Iterator[np.ndarray]:
+    # Below ~0.26 MPix/frame (e.g. 512x512) per-launch overhead dominates
+    # single-frame throughput (results/latency_curve.json); batching
+    # restores it, so stream() auto-groups frames smaller than this.
+    MICROBATCH_THRESHOLD_PX = 512 * 512
+
+    def stream(self, frames: Iterable[np.ndarray],
+               microbatch: int | str | None = "auto"
+               ) -> Iterator[np.ndarray]:
         """Software-pipelined stream: dispatch frame i, then fetch frame i-1
         — keeps the device busy while results cross the host link. Honors
-        ``bucket`` so variable-size streams reuse compiled programs."""
+        ``bucket`` so variable-size streams reuse compiled programs.
+
+        ``microbatch``: small frames are launch-bound (a 256² frame runs
+        ~5x below the large-frame GPix/s; see PERF_NOTES round-3 latency
+        curve), so consecutive SAME-SHAPE frames under
+        ``MICROBATCH_THRESHOLD_PX`` are grouped into one kernel launch.
+        "auto" sizes groups to ~1 MPix; an int forces that group size;
+        None disables grouping. Output order and values are unchanged
+        (batch is a Pallas grid dimension, not an approximation)."""
         def fn(frame):
             img = np.asarray(frame)
             if img.ndim == 3 and self._mxu_ok(img):
@@ -222,14 +237,56 @@ class Upscaler:
             if self.bucket:
                 return self._bucketed(img)
             return self._fn()(jax.device_put(img))
+
+        def group_size(img):
+            if microbatch is None or self.method == "adaptive":
+                return 1
+            if isinstance(microbatch, int):
+                return max(1, microbatch)
+            px = img.shape[0] * img.shape[1]
+            if px >= self.MICROBATCH_THRESHOLD_PX:
+                return 1
+            return max(1, int(round(2 ** 20 / px)))
+
+        def dispatch(group):
+            if len(group) == 1:
+                return (fn(group[0]), 1)
+            return (self.batch(np.stack(group), fetch=False), len(group))
+
+        def emit(out, n):
+            if n == 1:
+                yield _fetch(out)
+                return
+            arr = np.asarray(out)  # [B, H', W', C] device batch
+            for i in range(n):
+                yield arr[i]
+
         pending = None
+        group: list[np.ndarray] = []
         for frame in frames:
-            out = fn(frame)
+            img = np.asarray(frame)
+            limit = group_size(img)
+            if group and (img.shape != group[0].shape
+                          or len(group) >= limit):
+                out = dispatch(group)
+                group = []
+                if pending is not None:
+                    yield from emit(*pending)
+                pending = out
+            group.append(img)
+            if len(group) >= limit:
+                out = dispatch(group)
+                group = []
+                if pending is not None:
+                    yield from emit(*pending)
+                pending = out
+        if group:
+            out = dispatch(group)
             if pending is not None:
-                yield _fetch(pending)
+                yield from emit(*pending)
             pending = out
         if pending is not None:
-            yield _fetch(pending)
+            yield from emit(*pending)
 
 
 @dataclasses.dataclass
@@ -244,11 +301,21 @@ class ModelUpscaler:
     def __post_init__(self):
         from .evaluation.model_analysis import _load_model_any
         self.model, self.params = _load_model_any(self.model_dir)
+        # direct pixel-regression checkpoints (ESPCN/ESRGAN/SRResNetTPU
+        # families) take super_resolve_direct; weight predictors take the
+        # phase-packed super_resolve
+        self._direct = type(self.model).__name__ != "WeightPredictor"
 
     def __call__(self, lr_u8, fetch: bool = True):
-        from .models.inference import super_resolve
-        out = super_resolve(self.model, self.params, lr_u8,
-                            scale=self.scale, convention=self.convention)
+        if self._direct:
+            from .models.inference import super_resolve_direct
+            out = super_resolve_direct(self.model, self.params,
+                                       lr_u8[..., :3])
+        else:
+            from .models.inference import super_resolve
+            out = super_resolve(self.model, self.params, lr_u8,
+                                scale=self.scale,
+                                convention=self.convention)
         return np.asarray(out) if fetch else out
 
     def stream(self, frames: Iterable[np.ndarray]) -> Iterator[np.ndarray]:

@@ -73,11 +73,13 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--only", default="",
                     help="comma list of sections to re-measure (classical,"
-                         "adaptive,learned,neural,rational,train); default "
-                         "all. Other sections keep their previous JSON rows.")
+                         "adaptive,learned,neural,rational,train,downsample)"
+                         "; default all. Other sections keep their previous "
+                         "JSON rows.")
     args = ap.parse_args()
     sections = set(filter(None, args.only.split(","))) or {
-        "classical", "adaptive", "learned", "neural", "rational", "train"}
+        "classical", "adaptive", "learned", "neural", "rational", "train",
+        "downsample"}
 
     root = pathlib.Path(__file__).resolve().parents[1]
     res = root / "results"
@@ -239,7 +241,8 @@ def main():
     for name, ref_key in (("espcn_medium", "espcn_medium"),
                           ("espcn_thick", "espcn_thick"),
                           ("esrgan_lite", "espcn_thick"),
-                          ("esrgan_plus", "espcn_thick")):
+                          ("esrgan_plus", "espcn_thick"),
+                          ("srresnet_tpu", "espcn_thick")):
         d = root / "model" / name
         if not d.exists() or not want("neural"):
             continue
@@ -254,6 +257,27 @@ def main():
                      "gpix_per_s": out_pix_0020 / per / 1e9,
                      "reference_ms": ref, "speedup": ref / (per * 1e3)}
         print(name, out[name])
+
+    # ---- LR generation (make-lr / data-gen downsample) — the entry point
+    # of every workflow; the reference delegates HR→LR to sharp
+    # (version3.0/utils/model_super_resolution.js:20-32,
+    # data_generator.js:62-88), which checks in no timing, so these rows
+    # carry no reference_ms column. Measured at the 0020 HR geometry
+    # (1392x2040 → /4) and 4K → /4.
+    if want("downsample"):
+        from bicubic_interpolation_model_tpu.ops.downsample import downsample
+        for label, (hh, ww) in (("downsample_0020_4x", (1392, 2040)),
+                                ("downsample_4k_4x", (2160, 3840))):
+            hr_u8 = jax.device_put(
+                rng.integers(0, 256, (hh, ww, 4), np.uint8))
+            for filt in ("lanczos3", "bicubic"):
+                per = chained_bench(
+                    lambda x, f=filt: downsample(x, float(SCALE), f), hr_u8)
+                row = {"ms_per_frame": per * 1e3,
+                       "in_mpix_per_s": hh * ww / per / 1e6,
+                       "filter": filt, "geometry": f"{hh}x{ww}->/4"}
+                out[f"{label}_{filt}"] = row
+                print(f"{label}_{filt}", row)
 
     # ---- training-step throughput (no reference number exists — the
     # reference's train.js logs epochs but checks in no timings) ----

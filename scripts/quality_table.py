@@ -73,7 +73,8 @@ def main():
         m, template = init_params(_jax.random.key(0))
         p, _ = checkpoint.load(wp_dir, template)
         wp_list.append((m, p, wp_dir.name))
-    for name in ("espcn_medium", "espcn_thick", "esrgan_lite", "esrgan_plus"):
+    for name in ("espcn_medium", "espcn_thick", "esrgan_lite", "esrgan_plus",
+                 "srresnet_tpu"):
         d = root / "model" / name
         if d.exists():
             from bicubic_interpolation_model_tpu.models.espcn import MODEL_ZOO

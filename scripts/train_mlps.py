@@ -26,7 +26,7 @@ sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
 import numpy as np
 
 HR_DIR = "/root/reference/version3.0/cp_image/hr_images"
-EVAL_ID = "0020"
+HOLDOUT_IDS = ("0020", "0691", "0886")
 SCALE = 4
 
 
@@ -54,6 +54,7 @@ def build_samples(data, n_per_image, seed=0):
 
 
 def evaluate(model, params, include_offsets):
+    """Per-held-out-id PSNR/SSIM dict + mean (VERDICT r2 item 8)."""
     from bicubic_interpolation_model_tpu.data.div2k import align_crop
     from bicubic_interpolation_model_tpu.evaluation.metrics import (
         compare_images,
@@ -64,11 +65,16 @@ def evaluate(model, params, include_offsets):
     from bicubic_interpolation_model_tpu.ops.downsample import downsample_np
     from bicubic_interpolation_model_tpu.utils import imageio
 
-    hr = align_crop(imageio.load_rgba(f"{HR_DIR}/{EVAL_ID}.png"), SCALE)
-    lr = downsample_np(hr, float(SCALE), "lanczos3")
-    sr = np.asarray(super_resolve_mlp(model, params, lr, scale=SCALE,
-                                      include_offsets=include_offsets))
-    return compare_images(hr, sr)
+    per = {}
+    for hid in HOLDOUT_IDS:
+        hr = align_crop(imageio.load_rgba(f"{HR_DIR}/{hid}.png"), SCALE)
+        lr = downsample_np(hr, float(SCALE), "lanczos3")
+        sr = np.asarray(super_resolve_mlp(model, params, lr, scale=SCALE,
+                                          include_offsets=include_offsets))
+        m = compare_images(hr, sr)
+        per[hid] = {"psnr": m.psnr, "ssim": m.ssim, "mse": m.mse}
+    per["mean_psnr"] = float(np.mean([v["psnr"] for v in per.values()]))
+    return per
 
 
 def main():
@@ -88,7 +94,8 @@ def main():
     t0 = time.time()
     data = load_hr_dir(HR_DIR, scale=SCALE, keep_hr=False,
                        limit=6 if args.quick else 20)
-    data.pop(EVAL_ID, None)
+    for hid in HOLDOUT_IDS:
+        data.pop(hid, None)
     n_per = 2000 if args.quick else 30000
     feats, offs, targs = build_samples(data, n_per)
     print(f"{len(data)} images, {feats.shape[0]} samples "
@@ -108,16 +115,14 @@ def main():
         params, history = train_pixel_mlp(model, x, targs, cfg,
                                           log=lambda s: None)
         print(f"final loss {history[-1]:.6f} ({len(history)} epochs)")
-        m = evaluate(model, params, include_off)
-        print(f"{name} eval on {EVAL_ID}: PSNR={m.psnr:.2f} "
-              f"SSIM={m.ssim:.4f} MSE={m.mse:.2f}")
+        ev = evaluate(model, params, include_off)
+        print(f"{name} held-out eval: {ev}")
         checkpoint.save(root / name, params, meta={
             "model": type(model).__name__, "scale": SCALE,
             "include_offsets": include_off,
             "train_images": len(data), "samples": int(x.shape[0]),
             "epochs": len(history),
-            "eval": {"image": EVAL_ID, "psnr": m.psnr, "ssim": m.ssim,
-                     "mse": m.mse},
+            "holdout": list(HOLDOUT_IDS), "eval": ev,
             "history": history[-5:]})
     print(f"done in {time.time()-t0:.0f}s")
 
