@@ -51,6 +51,9 @@ def _load():
                                         ctypes.POINTER(u32),
                                         ctypes.POINTER(u32)]
     lib.bim_decode_png_file.restype = ctypes.c_int
+    if hasattr(lib, "bim_decode_jpeg_file"):
+        lib.bim_decode_jpeg_file.argtypes = lib.bim_decode_png_file.argtypes
+        lib.bim_decode_jpeg_file.restype = ctypes.c_int
     lib.bim_encode_png_file.argtypes = [ctypes.c_char_p, u8p, u32, u32]
     lib.bim_encode_png_file.restype = ctypes.c_int
     lib.bim_read_tensor.argtypes = [ctypes.c_char_p, ctypes.POINTER(f32p),
@@ -78,6 +81,28 @@ def decode_png(path) -> np.ndarray | None:
     h = ctypes.c_uint32()
     rc = lib.bim_decode_png_file(str(path).encode(), ctypes.byref(out),
                                  ctypes.byref(w), ctypes.byref(h))
+    if rc != 0:
+        return None
+    try:
+        n = int(w.value) * int(h.value) * 4
+        arr = np.ctypeslib.as_array(out, shape=(n,)).copy()
+        return arr.reshape(int(h.value), int(w.value), 4)
+    finally:
+        lib.bim_free(out)
+
+
+def decode_jpeg(path) -> np.ndarray | None:
+    """Baseline/extended-sequential Huffman JPEG via the from-scratch C++
+    decoder (csrc/bimjpeg.cpp). Returns None for progressive/arithmetic
+    files (or an old .so without the symbol) — callers fall back to PIL."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "bim_decode_jpeg_file"):
+        return None
+    out = ctypes.POINTER(ctypes.c_uint8)()
+    w = ctypes.c_uint32()
+    h = ctypes.c_uint32()
+    rc = lib.bim_decode_jpeg_file(str(path).encode(), ctypes.byref(out),
+                                  ctypes.byref(w), ctypes.byref(h))
     if rc != 0:
         return None
     try:

@@ -228,8 +228,11 @@ class Upscaler:
         curve), so consecutive SAME-SHAPE frames under
         ``MICROBATCH_THRESHOLD_PX`` are grouped into one kernel launch.
         "auto" sizes groups to ~1 MPix; an int forces that group size;
-        None disables grouping. Output order and values are unchanged
-        (batch is a Pallas grid dimension, not an approximation)."""
+        None disables grouping. Output order is unchanged; on TPU values
+        are bit-identical to per-frame dispatch (batch is a Pallas grid
+        dimension, not an approximation). On the CPU fallback the grouped
+        path is a vmap whose summation order may differ, so values hold to
+        the framework-wide ±1 u8 LSB contract rather than bit-exactness."""
         def fn(frame):
             img = np.asarray(frame)
             if img.ndim == 3 and self._mxu_ok(img):

@@ -24,8 +24,13 @@ def _native():
 def load_rgba(path) -> np.ndarray:
     """Decode an image file to HWC uint8 RGBA."""
     n = _native()
-    if n is not None and str(path).lower().endswith(".png"):
+    lower = str(path).lower()
+    if n is not None and lower.endswith(".png"):
         arr = n.decode_png(path)
+        if arr is not None:
+            return arr
+    if n is not None and lower.endswith((".jpg", ".jpeg")):
+        arr = n.decode_jpeg(path)   # None for progressive → PIL below
         if arr is not None:
             return arr
     from PIL import Image

@@ -154,7 +154,7 @@ def test_esrgan_lite_shapes():
 def test_model_zoo_complete():
     from bicubic_interpolation_model_tpu.models.espcn import MODEL_ZOO
     assert set(MODEL_ZOO) == {"espcn_medium", "espcn_thick",
-                          "esrgan_lite", "esrgan_plus"}
+                          "esrgan_lite", "esrgan_plus", "srresnet_tpu"}
     for f in MODEL_ZOO.values():
         m = f(scale=2)
         p = m.init(jax.random.key(0), jnp.zeros((1, 8, 8, 3)))

@@ -56,6 +56,81 @@ def test_tensor_bin_matches_python_writer(tmp_path, rng):
     assert p1.read_bytes() == p2.read_bytes()
 
 
+def _save_jpeg(tmp_path, arr, name="x.jpg", **kw):
+    from PIL import Image
+    p = tmp_path / name
+    mode = "L" if arr.ndim == 2 or arr.shape[-1] == 1 else "RGB"
+    Image.fromarray(arr.squeeze(), mode).save(p, **kw)
+    return p
+
+
+@pytest.mark.parametrize("subsampling,quality,size", [
+    (0, 95, (67, 129)),   # 4:4:4
+    (1, 85, (128, 256)),  # 4:2:2
+    (2, 75, (333, 511)),  # 4:2:0, odd dims exercise edge-block replication
+])
+def test_jpeg_decode_matches_pil(tmp_path, rng, subsampling, quality, size):
+    """Baseline-JPEG parity vs PIL/libjpeg. T.81 doesn't pin the IDCT
+    bit-exactly, so allow a few LSB; measured max is 4 across subsamplings."""
+    from PIL import Image
+    if not hasattr(native, "decode_jpeg"):
+        pytest.skip("old native build without JPEG")
+    arr = rng.integers(0, 256, (*size, 3), dtype=np.uint8)
+    p = _save_jpeg(tmp_path, arr, quality=quality, subsampling=subsampling)
+    ours = native.decode_jpeg(p)
+    assert ours is not None
+    with Image.open(p) as im:
+        want = np.asarray(im.convert("RGBA"))
+    assert ours.shape == want.shape
+    d = np.abs(ours.astype(int) - want.astype(int))
+    assert d.max() <= 6 and d.mean() < 1.0
+
+
+def test_jpeg_decode_grayscale_and_restart(tmp_path, rng):
+    from PIL import Image
+    arr = rng.integers(0, 256, (100, 200), dtype=np.uint8)
+    p = _save_jpeg(tmp_path, arr, quality=90)
+    ours = native.decode_jpeg(p)
+    want = np.asarray(Image.open(p).convert("RGBA"))
+    assert np.abs(ours.astype(int) - want.astype(int)).max() <= 2
+    # restart markers (DRI segments); skip if Pillow too old to emit them
+    rgb = rng.integers(0, 256, (64, 96, 3), dtype=np.uint8)
+    try:
+        p2 = _save_jpeg(tmp_path, rgb, "r.jpg", quality=85,
+                        restart_marker_rows=1)
+    except (TypeError, OSError):
+        pytest.skip("Pillow lacks restart_marker_rows")
+    ours = native.decode_jpeg(p2)
+    want = np.asarray(Image.open(p2).convert("RGBA"))
+    assert ours is not None
+    assert np.abs(ours.astype(int) - want.astype(int)).max() <= 6
+
+
+def test_jpeg_progressive_falls_back_to_pil(tmp_path, rng):
+    """Progressive (SOF2) is out of scope for the native decoder: it must
+    decline cleanly and load_rgba must deliver via PIL."""
+    from bicubic_interpolation_model_tpu.utils.imageio import load_rgba
+    arr = rng.integers(0, 256, (64, 96, 3), dtype=np.uint8)
+    p = _save_jpeg(tmp_path, arr, "p.jpg", progressive=True, quality=90)
+    assert native.decode_jpeg(p) is None
+    assert load_rgba(p).shape == (64, 96, 4)
+
+
+def test_jpeg_hostile_inputs_rejected(tmp_path):
+    """Truncated/garbage streams must fail cleanly, never crash."""
+    cases = [
+        b"",                                  # empty
+        b"\xff\xd8",                          # bare SOI
+        b"\xff\xd8\xff\xc0\x00\x04\x08",      # truncated SOF0
+        bytes(range(256)) * 8,                # garbage
+        b"\xff\xd8\xff\xdb\x00\x43\x00" + b"\x01" * 64 + b"\xff\xd9",
+    ]
+    for i, blob in enumerate(cases):
+        p = tmp_path / f"evil{i}.jpg"
+        p.write_bytes(blob)
+        assert native.decode_jpeg(p) is None, f"case {i}"
+
+
 def _chunk(ctype: bytes, data: bytes) -> bytes:
     import struct, zlib
     return (struct.pack(">I", len(data)) + ctype + data
