@@ -167,7 +167,8 @@ def cmd_train(args):
     data = load_triplets(ws / "data" / "train")
     cfg = TrainConfig(learning_rate=args.lr, epochs=args.epochs,
                       mode=args.mode, batch_size=args.batch_size,
-                      patch_lr=args.patch_lr, scale=args.scale)
+                      patch_lr=args.patch_lr, scale=args.scale,
+                      image_batch=args.image_batch)
     trainer = WeightPredictorTrainer(WeightPredictor(scale=args.scale), cfg)
     init = None
     if args.resume:
@@ -319,6 +320,10 @@ def build_parser():
     sp.add_argument("--mode", default="patch", choices=("patch", "image"))
     sp.add_argument("--batch-size", type=int, default=8)
     sp.add_argument("--patch-lr", type=int, default=64)
+    sp.add_argument("--image-batch", type=int, default=1,
+                    help="image mode: same-bucket images per step "
+                         "(1 = the reference's per-image updates; >1 "
+                         "batch-mean gradients, ~3x per-pixel speedup)")
     sp.add_argument("--scale", type=int, default=4)
     sp.add_argument("--resume", help="checkpoint dir to resume from")
     sp.set_defaults(func=cmd_train)

@@ -31,6 +31,12 @@ class TrainConfig:
     patch_lr: int = 64           # LR patch side (HR side = patch_lr * scale)
     batch_size: int = 8
     bucket: int = 64             # LR bucket multiple for image mode
+    # image mode: batch up to this many SAME-BUCKET images per step. 1 (the
+    # default) reproduces the reference's per-image Adam updates exactly
+    # (train.js:174-207); >1 changes update granularity (batch-mean gradient
+    # over the group) but fills the MXU — ~3x better per-pixel step time at
+    # DIV2K sizes (PERF_NOTES round 3e).
+    image_batch: int = 1
     scale: int = 4
     seed: int = 0
     log_every: int = 10
@@ -155,15 +161,43 @@ class WeightPredictorTrainer:
     def _image_batches(self, data):
         cfg = self.cfg
         s = cfg.scale
+        nb = max(1, cfg.image_batch)
+        # group by bucketed LR shape so grouped images share one padded
+        # geometry (and therefore one compiled program)
+        groups: dict[tuple[int, int], list] = {}
+        order: list[tuple[int, int]] = []
         for sid, d in data.items():
             h, w = d["X"].shape[:2]
-            hb, wb = _bucket(h, cfg.bucket), _bucket(w, cfg.bucket)
-            img = _pad_to(d["X"], hb, wb)[None]
-            off = _pad_to(d["offset"], hb * s, wb * s)[None]
-            y = _pad_to(d["Y"], hb * s, wb * s)[None]
-            mask = np.zeros((1, hb * s, wb * s, 1), np.float32)
-            mask[:, :h * s, :w * s] = 1.0
-            yield (img, off, y, mask)
+            key = (_bucket(h, cfg.bucket), _bucket(w, cfg.bucket))
+            if key not in groups:
+                groups[key] = []
+                order.append(key)
+            groups[key].append(d)
+        for key in order:
+            hb, wb = key
+            members = groups[key]
+            for i in range(0, len(members), nb):
+                chunk = members[i:i + nb]
+                imgs, offs, ys, masks = [], [], [], []
+                for d in chunk:
+                    h, w = d["X"].shape[:2]
+                    imgs.append(_pad_to(d["X"], hb, wb))
+                    offs.append(_pad_to(d["offset"], hb * s, wb * s))
+                    ys.append(_pad_to(d["Y"], hb * s, wb * s))
+                    m = np.zeros((hb * s, wb * s, 1), np.float32)
+                    m[:h * s, :w * s] = 1.0
+                    masks.append(m)
+                # ragged tail groups pad with a zero-mask repeat of the last
+                # image so every group in a bucket shares ONE program (only
+                # when a full group exists — a lone undersized bucket keeps
+                # its natural batch rather than paying for phantom rows)
+                while nb > 1 and i > 0 and len(imgs) < nb:
+                    imgs.append(imgs[-1])
+                    offs.append(offs[-1])
+                    ys.append(ys[-1])
+                    masks.append(np.zeros_like(masks[-1]))
+                yield (np.stack(imgs), np.stack(offs), np.stack(ys),
+                       np.stack(masks))
 
     # ---- main loop ----------------------------------------------------------
 

@@ -1,0 +1,92 @@
+"""Image-mode vs patch-mode training cost on real DIV2K geometry (VERDICT r2
+weak #4: "the mode the reference actually uses is 16x slower per step and
+nothing says why or whether it matters").
+
+Measures, on the real HR training set (reference cp_image/hr_images):
+- per-step latency and per-LR-pixel cost for both modes,
+- ONE full epoch wall-clock for: patch (16x48), image_batch=1 (the
+  reference's per-image Adam updates, train.js:174-207), image_batch=4
+  (same-bucket grouped batches, PERF_NOTES round 3e),
+- the number of distinct compiled geometries image-mode bucketing produces.
+
+Writes results/train_modes.json. Run on the TPU from /root/repo with no
+PYTHONPATH (the axon plugin breaks otherwise).
+"""
+
+import json
+import pathlib
+import sys
+import time
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
+
+import numpy as np
+
+
+def main():
+    from bicubic_interpolation_model_tpu.data.onthefly import load_hr_dir
+    from bicubic_interpolation_model_tpu.models.weight_predictor import (
+        WeightPredictor,
+    )
+    from bicubic_interpolation_model_tpu.train.trainer import (
+        TrainConfig,
+        WeightPredictorTrainer,
+    )
+
+    hr_dir = "/root/reference/version3.0/cp_image/hr_images"
+    t0 = time.time()
+    data = load_hr_dir(hr_dir, scale=4, keep_hr=False)
+    for hid in ("0020", "0691", "0886"):
+        data.pop(hid, None)
+    print(f"{len(data)} images loaded ({time.time()-t0:.0f}s)", flush=True)
+
+    out = {}
+    lr_pix = {sid: d["X"].shape[0] * d["X"].shape[1] for sid, d in data.items()}
+    total_lr = int(sum(lr_pix.values()))
+
+    def run(label, cfg, epochs=3):
+        tr = WeightPredictorTrainer(WeightPredictor(scale=4), cfg)
+        if cfg.mode == "image":
+            shapes = {b[0].shape for b in tr._image_batches(data)}
+            steps = sum(1 for _ in tr._image_batches(data))
+        else:
+            shapes = {(cfg.batch_size, cfg.patch_lr, cfg.patch_lr, 4)}
+            steps = max(1, len(data))
+        t0 = time.time()
+        tr.fit(data, epochs=epochs, log=lambda *_: None)
+        total = time.time() - t0
+        # first epoch eats every compile; steady state = later epochs
+        steady = (min(h["seconds"] for h in tr.history)
+                  if len(tr.history) > 1 else total)
+        row = {
+            "epochs": epochs,
+            "steps_per_epoch": steps,
+            "compiled_geometries": len(shapes),
+            "first_epoch_s": tr.history[0]["seconds"],
+            "steady_epoch_s": steady,
+            "ms_per_step_steady": steady / steps * 1e3,
+            "lr_pix_per_s_steady": total_lr / steady if cfg.mode == "image"
+            else cfg.batch_size * cfg.patch_lr ** 2 * steps / steady,
+            "final_loss": tr.history[-1]["loss"],
+        }
+        out[label] = row
+        print(label, json.dumps(row), flush=True)
+
+    run("patch_16x48", TrainConfig(learning_rate=1e-3, mode="patch",
+                                   patch_lr=48, batch_size=16,
+                                   log_every=10 ** 9))
+    run("image_batch1", TrainConfig(learning_rate=1e-3, mode="image",
+                                    bucket=64, image_batch=1,
+                                    log_every=10 ** 9))
+    run("image_batch4", TrainConfig(learning_rate=1e-3, mode="image",
+                                    bucket=64, image_batch=4,
+                                    log_every=10 ** 9))
+
+    res = pathlib.Path(__file__).resolve().parents[1] / "results"
+    res.mkdir(exist_ok=True)
+    (res / "train_modes.json").write_text(json.dumps(out, indent=2))
+    print("wrote results/train_modes.json")
+
+
+if __name__ == "__main__":
+    main()

@@ -128,6 +128,47 @@ def test_trainer_smoke(rng):
     assert losses[-1] < losses[0]
 
 
+def test_image_mode_batching(rng):
+    """Image mode groups SAME-BUCKET images into one padded batch
+    (image_batch>1, PERF_NOTES round 3e); ragged tails pad with a zero-mask
+    duplicate so every group in a bucket shares one compiled program, and
+    the masked loss divides by mask.sum() so the duplicate is inert."""
+    from bicubic_interpolation_model_tpu.ops.learned import gt_weight_map, offset_map
+    from bicubic_interpolation_model_tpu.train.trainer import (
+        TrainConfig,
+        WeightPredictorTrainer,
+    )
+    from bicubic_interpolation_model_tpu.models.weight_predictor import (
+        WeightPredictor,
+    )
+    data = {}
+    for i, (h, w) in enumerate([(12, 12), (10, 11), (12, 9), (20, 12)]):
+        img = random_image(rng, h, w).astype(np.float32) / 255.0
+        data[str(i)] = {
+            "X": img,
+            "offset": np.asarray(offset_map(h * 4, w * 4, 4.0, "train")),
+            "Y": np.asarray(gt_weight_map(h * 4, w * 4, 4.0, "train")),
+        }
+    cfg = TrainConfig(mode="image", bucket=16, image_batch=2, epochs=1,
+                      log_every=1000)
+    tr = WeightPredictorTrainer(WeightPredictor(scale=4), cfg)
+    batches = list(tr._image_batches(data))
+    # bucket (16,16) holds images 0,1,2 -> one full group + one zero-padded
+    # tail; bucket (32,16) holds image 3 alone (tail groups of a nb-sized
+    # bucket keep the batch dim so programs are shared)
+    shapes = sorted(b[0].shape for b in batches)
+    assert shapes == [(1, 32, 16, 4), (2, 16, 16, 4), (2, 16, 16, 4)]
+    tail = next(b for b in batches if b[0].shape == (2, 16, 16, 4)
+                and b[3][1].sum() == 0)
+    assert tail[3][0].sum() > 0  # real image keeps its mask
+    tr.fit(data, log=lambda *_: None)  # one epoch end-to-end
+    assert len(tr.history) == 1
+    # image_batch=1 (default) reproduces per-image reference semantics
+    cfg1 = TrainConfig(mode="image", bucket=16, epochs=1, log_every=1000)
+    tr1 = WeightPredictorTrainer(WeightPredictor(scale=4), cfg1)
+    assert all(b[0].shape[0] == 1 for b in tr1._image_batches(data))
+
+
 def test_checkpoint_roundtrip(tmp_path):
     from bicubic_interpolation_model_tpu.train import checkpoint
     _, params = init_params(jax.random.key(0))
