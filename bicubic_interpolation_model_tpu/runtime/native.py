@@ -54,6 +54,10 @@ def _load():
     if hasattr(lib, "bim_decode_jpeg_file"):
         lib.bim_decode_jpeg_file.argtypes = lib.bim_decode_png_file.argtypes
         lib.bim_decode_jpeg_file.restype = ctypes.c_int
+    if hasattr(lib, "bim_encode_jpeg_file"):
+        lib.bim_encode_jpeg_file.argtypes = [ctypes.c_char_p, u8p, u32, u32,
+                                             ctypes.c_int, ctypes.c_int]
+        lib.bim_encode_jpeg_file.restype = ctypes.c_int
     lib.bim_encode_png_file.argtypes = [ctypes.c_char_p, u8p, u32, u32]
     lib.bim_encode_png_file.restype = ctypes.c_int
     lib.bim_read_tensor.argtypes = [ctypes.c_char_p, ctypes.POINTER(f32p),
@@ -123,6 +127,23 @@ def encode_png(path, rgba_u8: np.ndarray) -> bool:
         str(path).encode(),
         arr.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
         ctypes.c_uint32(w), ctypes.c_uint32(h))
+    return rc == 0
+
+
+def encode_jpeg(path, rgba_u8: np.ndarray, quality: int = 92,
+                gray: bool = False) -> bool:
+    """Baseline 4:4:4 JPEG via the from-scratch encoder (csrc/bimjpeg.cpp).
+    ``gray`` emits a single-component scan from the R channel."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "bim_encode_jpeg_file"):
+        return False
+    arr = np.ascontiguousarray(rgba_u8, dtype=np.uint8)
+    h, w = arr.shape[:2]
+    rc = lib.bim_encode_jpeg_file(
+        str(path).encode(),
+        arr.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        ctypes.c_uint32(w), ctypes.c_uint32(h),
+        ctypes.c_int(int(quality)), ctypes.c_int(1 if gray else 0))
     return rc == 0
 
 

@@ -45,10 +45,14 @@ def load_rgb(path) -> np.ndarray:
 
 
 def save_png(path, img: np.ndarray) -> None:
-    """Encode HWC uint8 (RGB/RGBA/gray) to PNG."""
+    """Encode HWC uint8 (RGB/RGBA/gray) to PNG — or to JPEG when the path
+    says so (``.jpg``/``.jpeg``), mirroring sharp's write-by-extension."""
     path = pathlib.Path(path)
     path.parent.mkdir(parents=True, exist_ok=True)
     img = np.ascontiguousarray(img)
+    if str(path).lower().endswith((".jpg", ".jpeg")):
+        save_jpeg(path, img)
+        return
     n = _native()
     if n is not None and img.ndim == 3 and img.shape[2] == 4:
         if n.encode_png(path, img):
@@ -61,3 +65,35 @@ def save_png(path, img: np.ndarray) -> None:
         if img.shape[2] == 1:
             img = img[..., 0]
     Image.fromarray(img, mode=mode).save(path)
+
+
+save_image = save_png  # dispatches on extension; alias for readability
+
+
+def save_jpeg(path, img: np.ndarray, quality: int = 92) -> None:
+    """Encode HWC uint8 (RGB/RGBA/gray) to baseline 4:4:4 JPEG via the
+    from-scratch native encoder (csrc/bimjpeg.cpp); PIL fallback."""
+    path = pathlib.Path(path)
+    path.parent.mkdir(parents=True, exist_ok=True)
+    img = np.ascontiguousarray(img)
+    n = _native()
+    if n is not None:
+        gray = img.ndim == 2 or img.shape[2] == 1
+        if gray:
+            g = img if img.ndim == 2 else img[..., 0]
+            rgba = np.repeat(g[..., None], 4, axis=-1)
+        elif img.shape[2] == 3:
+            rgba = np.concatenate(
+                [img, np.full(img.shape[:2] + (1,), 255, np.uint8)], -1)
+        else:
+            rgba = img
+        if n.encode_jpeg(path, np.ascontiguousarray(rgba), quality,
+                         gray=gray):
+            return
+    from PIL import Image
+    arr = img[..., 0] if (img.ndim == 3 and img.shape[2] == 1) else img
+    mode = "L" if arr.ndim == 2 else {3: "RGB", 4: "RGBA"}[arr.shape[2]]
+    im = Image.fromarray(arr, mode=mode)
+    if mode == "RGBA":
+        im = im.convert("RGB")  # JPEG has no alpha
+    im.save(path, quality=quality, subsampling=0)

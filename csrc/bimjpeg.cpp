@@ -453,6 +453,310 @@ int Decoder::decode(uint8_t** out, uint32_t* w, uint32_t* h) {
   return -1;
 }
 
+// ===========================================================================
+// Encoder: baseline sequential 4:4:4 (or grayscale), Annex-K quant tables
+// scaled by the conventional IJG quality mapping, Annex-K Huffman tables.
+// Fills sharp/libvips' JPEG-encode role (SURVEY §2.4). From the T.81 spec,
+// like the decoder above.
+// ===========================================================================
+
+const uint8_t kQLumaStd[64] = {
+    16, 11, 10, 16, 24,  40,  51,  61,  12, 12, 14, 19, 26,  58,  60,  55,
+    14, 13, 16, 24, 40,  57,  69,  56,  14, 17, 22, 29, 51,  87,  80,  62,
+    18, 22, 37, 56, 68,  109, 103, 77,  24, 35, 55, 64, 81,  104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101, 72, 92, 95, 98, 112, 100, 103, 99};
+
+const uint8_t kQChromaStd[64] = {
+    17, 18, 24, 47, 99, 99, 99, 99, 18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99, 47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99};
+
+// Annex K Huffman table specs (BITS[1..16] then HUFFVAL)
+const uint8_t kBitsDcL[17] = {0, 0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0};
+const uint8_t kValsDc[12] = {0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11};
+const uint8_t kBitsDcC[17] = {0, 0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0};
+const uint8_t kBitsAcL[17] = {0, 0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7d};
+const uint8_t kValsAcL[162] = {
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41, 0x06,
+    0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xa1, 0x08,
+    0x23, 0x42, 0xb1, 0xc1, 0x15, 0x52, 0xd1, 0xf0, 0x24, 0x33, 0x62, 0x72,
+    0x82, 0x09, 0x0a, 0x16, 0x17, 0x18, 0x19, 0x1a, 0x25, 0x26, 0x27, 0x28,
+    0x29, 0x2a, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3a, 0x43, 0x44, 0x45,
+    0x46, 0x47, 0x48, 0x49, 0x4a, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+    0x5a, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6a, 0x73, 0x74, 0x75,
+    0x76, 0x77, 0x78, 0x79, 0x7a, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+    0x8a, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9a, 0xa2, 0xa3,
+    0xa4, 0xa5, 0xa6, 0xa7, 0xa8, 0xa9, 0xaa, 0xb2, 0xb3, 0xb4, 0xb5, 0xb6,
+    0xb7, 0xb8, 0xb9, 0xba, 0xc2, 0xc3, 0xc4, 0xc5, 0xc6, 0xc7, 0xc8, 0xc9,
+    0xca, 0xd2, 0xd3, 0xd4, 0xd5, 0xd6, 0xd7, 0xd8, 0xd9, 0xda, 0xe1, 0xe2,
+    0xe3, 0xe4, 0xe5, 0xe6, 0xe7, 0xe8, 0xe9, 0xea, 0xf1, 0xf2, 0xf3, 0xf4,
+    0xf5, 0xf6, 0xf7, 0xf8, 0xf9, 0xfa};
+const uint8_t kBitsAcC[17] = {0, 0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77};
+const uint8_t kValsAcC[162] = {
+    0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12, 0x41,
+    0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+    0xa1, 0xb1, 0xc1, 0x09, 0x23, 0x33, 0x52, 0xf0, 0x15, 0x62, 0x72, 0xd1,
+    0x0a, 0x16, 0x24, 0x34, 0xe1, 0x25, 0xf1, 0x17, 0x18, 0x19, 0x1a, 0x26,
+    0x27, 0x28, 0x29, 0x2a, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3a, 0x43, 0x44,
+    0x45, 0x46, 0x47, 0x48, 0x49, 0x4a, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+    0x59, 0x5a, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6a, 0x73, 0x74,
+    0x75, 0x76, 0x77, 0x78, 0x79, 0x7a, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+    0x88, 0x89, 0x8a, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9a,
+    0xa2, 0xa3, 0xa4, 0xa5, 0xa6, 0xa7, 0xa8, 0xa9, 0xaa, 0xb2, 0xb3, 0xb4,
+    0xb5, 0xb6, 0xb7, 0xb8, 0xb9, 0xba, 0xc2, 0xc3, 0xc4, 0xc5, 0xc6, 0xc7,
+    0xc8, 0xc9, 0xca, 0xd2, 0xd3, 0xd4, 0xd5, 0xd6, 0xd7, 0xd8, 0xd9, 0xda,
+    0xe2, 0xe3, 0xe4, 0xe5, 0xe6, 0xe7, 0xe8, 0xe9, 0xea, 0xf2, 0xf3, 0xf4,
+    0xf5, 0xf6, 0xf7, 0xf8, 0xf9, 0xfa};
+
+struct EncHuff {
+  uint16_t code[256];
+  uint8_t size[256];
+};
+
+// canonical codes from BITS/HUFFVAL (T.81 C.2) into symbol-indexed tables
+void build_enc_huff(const uint8_t* bits, const uint8_t* vals, int nvals,
+                    EncHuff* t) {
+  std::memset(t->size, 0, sizeof(t->size));
+  uint16_t code = 0;
+  int k = 0;
+  for (int l = 1; l <= 16; ++l) {
+    for (int i = 0; i < bits[l] && k < nvals; ++i, ++k) {
+      t->code[vals[k]] = code++;
+      t->size[vals[k]] = uint8_t(l);
+    }
+    code <<= 1;
+  }
+}
+
+struct BitWriter {
+  std::vector<uint8_t>& out;
+  uint32_t acc = 0;
+  int nbits = 0;
+
+  explicit BitWriter(std::vector<uint8_t>& o) : out(o) {}
+
+  void put(uint32_t bits, int n) {
+    acc = (acc << n) | (bits & ((1u << n) - 1));
+    nbits += n;
+    while (nbits >= 8) {
+      uint8_t b = uint8_t(acc >> (nbits - 8));
+      out.push_back(b);
+      if (b == 0xFF) out.push_back(0x00);  // byte stuffing
+      nbits -= 8;
+    }
+  }
+
+  void flush() {
+    if (nbits > 0) put(0x7F, 7 - ((nbits + 7) % 8) + 1);  // pad with 1s
+  }
+};
+
+// separable float FDCT (the inverse of the decoder's IDCT basis)
+void fdct8x8(const float in[64], float out[64]) {
+  static float c[8][8];
+  static bool init = false;
+  if (!init) {
+    for (int u = 0; u < 8; ++u)
+      for (int x = 0; x < 8; ++x)
+        c[u][x] = float((u == 0 ? std::sqrt(0.125) : 0.5) *
+                        std::cos((2 * x + 1) * u * 3.14159265358979323846 /
+                                 16.0));
+    init = true;
+  }
+  float tmp[64];
+  for (int u = 0; u < 8; ++u)
+    for (int x = 0; x < 8; ++x) {
+      float s = 0;
+      for (int k = 0; k < 8; ++k) s += c[u][k] * in[x * 8 + k];
+      tmp[x * 8 + u] = s;
+    }
+  for (int v = 0; v < 8; ++v)
+    for (int u = 0; u < 8; ++u) {
+      float s = 0;
+      for (int k = 0; k < 8; ++k) s += c[v][k] * tmp[k * 8 + u];
+      out[v * 8 + u] = s;
+    }
+}
+
+int bit_length(int v) {
+  int n = 0;
+  while (v) {
+    ++n;
+    v >>= 1;
+  }
+  return n;
+}
+
+void encode_block(BitWriter& bw, const float* block, const uint16_t* qtab,
+                  const EncHuff& dc, const EncHuff& ac, int* dc_pred) {
+  float f[64], coef[64];
+  std::memcpy(f, block, sizeof(f));
+  fdct8x8(f, coef);
+  int q[64];
+  for (int i = 0; i < 64; ++i) {
+    float v = coef[kZigzag[i]] / float(qtab[kZigzag[i]]);
+    q[i] = int(std::lround(v));
+  }
+  // DC
+  int diff = q[0] - *dc_pred;
+  *dc_pred = q[0];
+  int mag = diff < 0 ? -diff : diff;
+  int n = bit_length(mag);
+  bw.put(dc.code[n], dc.size[n]);
+  if (n) bw.put(diff < 0 ? uint32_t(diff + ((1 << n) - 1)) : uint32_t(diff), n);
+  // AC: run-length of zeros + magnitude categories
+  int run = 0;
+  for (int i = 1; i < 64; ++i) {
+    if (q[i] == 0) {
+      ++run;
+      continue;
+    }
+    while (run > 15) {
+      bw.put(ac.code[0xF0], ac.size[0xF0]);  // ZRL
+      run -= 16;
+    }
+    int m = q[i] < 0 ? -q[i] : q[i];
+    int nn = bit_length(m);
+    int sym = (run << 4) | nn;
+    bw.put(ac.code[sym], ac.size[sym]);
+    bw.put(q[i] < 0 ? uint32_t(q[i] + ((1 << nn) - 1)) : uint32_t(q[i]), nn);
+    run = 0;
+  }
+  if (run) bw.put(ac.code[0x00], ac.size[0x00]);  // EOB
+}
+
+void put_marker_u16(std::vector<uint8_t>& o, uint16_t v) {
+  o.push_back(uint8_t(v >> 8));
+  o.push_back(uint8_t(v));
+}
+
+int encode_jpeg(const uint8_t* rgba, uint32_t w, uint32_t h, int quality,
+                int gray, uint8_t** out, size_t* out_len) {
+  if (!rgba || !out || !out_len || w == 0 || h == 0 || w >= kMaxDimJ ||
+      h >= kMaxDimJ || uint64_t(w) * h > kMaxPixelsJ)
+    return -1;
+  if (quality < 1) quality = 1;
+  if (quality > 100) quality = 100;
+  // conventional IJG quality → scale mapping
+  int scale = quality < 50 ? 5000 / quality : 200 - 2 * quality;
+  uint16_t qL[64], qC[64];
+  for (int i = 0; i < 64; ++i) {
+    int l = (kQLumaStd[i] * scale + 50) / 100;
+    int c = (kQChromaStd[i] * scale + 50) / 100;
+    qL[i] = uint16_t(l < 1 ? 1 : (l > 255 ? 255 : l));
+    qC[i] = uint16_t(c < 1 ? 1 : (c > 255 ? 255 : c));
+  }
+  EncHuff dcL, acL, dcC, acC;
+  build_enc_huff(kBitsDcL, kValsDc, 12, &dcL);
+  build_enc_huff(kBitsAcL, kValsAcL, 162, &acL);
+  build_enc_huff(kBitsDcC, kValsDc, 12, &dcC);
+  build_enc_huff(kBitsAcC, kValsAcC, 162, &acC);
+
+  std::vector<uint8_t> o;
+  o.reserve(size_t(w) * h / 2 + 1024);
+  auto seg = [&](uint8_t marker, std::initializer_list<uint8_t> body) {
+    o.push_back(0xFF);
+    o.push_back(marker);
+    put_marker_u16(o, uint16_t(body.size() + 2));
+    o.insert(o.end(), body);
+  };
+  o.push_back(0xFF);
+  o.push_back(0xD8);  // SOI
+  seg(0xE0, {'J', 'F', 'I', 'F', 0, 1, 1, 0, 0, 1, 0, 1, 0, 0});
+  // DQT (8-bit precision)
+  auto dqt = [&](int id, const uint16_t* q) {
+    o.push_back(0xFF);
+    o.push_back(0xDB);
+    put_marker_u16(o, 67);
+    o.push_back(uint8_t(id));
+    for (int i = 0; i < 64; ++i) o.push_back(uint8_t(q[kZigzag[i]]));
+  };
+  dqt(0, qL);
+  if (!gray) dqt(1, qC);
+  // SOF0
+  int ncomp = gray ? 1 : 3;
+  o.push_back(0xFF);
+  o.push_back(0xC0);
+  put_marker_u16(o, uint16_t(8 + 3 * ncomp));
+  o.push_back(8);
+  put_marker_u16(o, uint16_t(h));
+  put_marker_u16(o, uint16_t(w));
+  o.push_back(uint8_t(ncomp));
+  for (int i = 0; i < ncomp; ++i) {
+    o.push_back(uint8_t(i + 1));
+    o.push_back(0x11);  // 4:4:4 — no subsampling, quality over size
+    o.push_back(i == 0 ? 0 : 1);
+  }
+  // DHT
+  auto dht = [&](int cls, int id, const uint8_t* bits, const uint8_t* vals,
+                 int nvals) {
+    o.push_back(0xFF);
+    o.push_back(0xC4);
+    put_marker_u16(o, uint16_t(2 + 17 + nvals));
+    o.push_back(uint8_t((cls << 4) | id));
+    for (int l = 1; l <= 16; ++l) o.push_back(bits[l]);
+    o.insert(o.end(), vals, vals + nvals);
+  };
+  dht(0, 0, kBitsDcL, kValsDc, 12);
+  dht(1, 0, kBitsAcL, kValsAcL, 162);
+  if (!gray) {
+    dht(0, 1, kBitsDcC, kValsDc, 12);
+    dht(1, 1, kBitsAcC, kValsAcC, 162);
+  }
+  // SOS
+  o.push_back(0xFF);
+  o.push_back(0xDA);
+  put_marker_u16(o, uint16_t(6 + 2 * ncomp));
+  o.push_back(uint8_t(ncomp));
+  for (int i = 0; i < ncomp; ++i) {
+    o.push_back(uint8_t(i + 1));
+    o.push_back(i == 0 ? 0x00 : 0x11);
+  }
+  o.push_back(0);
+  o.push_back(63);
+  o.push_back(0);
+
+  BitWriter bw(o);
+  int pred[3] = {0, 0, 0};
+  float blk[3][64];
+  for (uint32_t by = 0; by < h; by += 8) {
+    for (uint32_t bx = 0; bx < w; bx += 8) {
+      for (int yy = 0; yy < 8; ++yy) {
+        uint32_t sy = by + yy < h ? by + yy : h - 1;  // edge replicate
+        for (int xx = 0; xx < 8; ++xx) {
+          uint32_t sx = bx + xx < w ? bx + xx : w - 1;
+          const uint8_t* p = rgba + (size_t(sy) * w + sx) * 4;
+          if (gray) {
+            blk[0][yy * 8 + xx] = float(p[0]) - 128.0f;
+          } else {
+            float r = p[0], g = p[1], b = p[2];
+            blk[0][yy * 8 + xx] =
+                0.299f * r + 0.587f * g + 0.114f * b - 128.0f;
+            blk[1][yy * 8 + xx] = -0.168736f * r - 0.331264f * g + 0.5f * b;
+            blk[2][yy * 8 + xx] = 0.5f * r - 0.418688f * g - 0.081312f * b;
+          }
+        }
+      }
+      encode_block(bw, blk[0], qL, dcL, acL, &pred[0]);
+      if (!gray) {
+        encode_block(bw, blk[1], qC, dcC, acC, &pred[1]);
+        encode_block(bw, blk[2], qC, dcC, acC, &pred[2]);
+      }
+    }
+  }
+  bw.flush();
+  o.push_back(0xFF);
+  o.push_back(0xD9);  // EOI
+
+  uint8_t* buf = (uint8_t*)malloc(o.size());
+  if (!buf) return -1;
+  std::memcpy(buf, o.data(), o.size());
+  *out = buf;
+  *out_len = o.size();
+  return 0;
+}
+
 }  // namespace
 
 extern "C" {
@@ -465,6 +769,28 @@ int bim_decode_jpeg(const uint8_t* buf, size_t len, uint8_t** out,
   d.buf = buf;
   d.len = len;
   return d.decode(out, w, h);
+}
+
+// Encode RGBA8 to baseline 4:4:4 JPEG (gray!=0 → single-component from the
+// R channel). Returns 0 on success; *out is malloc'd.
+int bim_encode_jpeg(const uint8_t* rgba, uint32_t w, uint32_t h, int quality,
+                    int gray, uint8_t** out, size_t* out_len) {
+  return encode_jpeg(rgba, w, h, quality, gray, out, out_len);
+}
+
+int bim_encode_jpeg_file(const char* path, const uint8_t* rgba, uint32_t w,
+                         uint32_t h, int quality, int gray) {
+  uint8_t* data = nullptr;
+  size_t n = 0;
+  if (encode_jpeg(rgba, w, h, quality, gray, &data, &n) != 0) return -1;
+  FILE* f = fopen(path, "wb");
+  if (!f) {
+    free(data);
+    return -1;
+  }
+  size_t put = fwrite(data, 1, n, f);
+  free(data);
+  return (fclose(f) == 0 && put == n) ? 0 : -1;
 }
 
 int bim_decode_jpeg_file(const char* path, uint8_t** out, uint32_t* w,

@@ -116,6 +116,60 @@ def test_jpeg_progressive_falls_back_to_pil(tmp_path, rng):
     assert load_rgba(p).shape == (64, 96, 4)
 
 
+def test_jpeg_encode_roundtrip(tmp_path, rng):
+    """Native baseline-JPEG ENCODER (sharp's write side): decodable by both
+    libjpeg (via PIL — independent implementation) and our own decoder,
+    with the expected quality/size trade."""
+    from PIL import Image
+    if not hasattr(native, "encode_jpeg"):
+        pytest.skip("old native build without JPEG encode")
+    # smooth-ish content: random noise is JPEG's worst case, gradients are
+    # representative of the DIV2K workflow
+    yy, xx = np.mgrid[0:65, 0:117]
+    base = (yy * 2 + xx).astype(np.uint8)
+    img = np.stack([base, base[::-1], base ^ 0x55,
+                    np.full_like(base, 255)], -1)
+    sizes = {}
+    for q in (95, 50):
+        p = tmp_path / f"q{q}.jpg"
+        assert native.encode_jpeg(p, img, quality=q)
+        sizes[q] = p.stat().st_size
+        with Image.open(p) as im:
+            assert im.size == (117, 65)
+            back = np.asarray(im.convert("RGBA")).astype(int)
+        d = np.abs(back[..., :3] - img[..., :3].astype(int))
+        psnr = 10 * np.log10(255 ** 2 / max((d.astype(float) ** 2).mean(),
+                                            1e-9))
+        assert psnr > (38 if q == 95 else 30), f"q={q}: {psnr:.1f} dB"
+        ours = native.decode_jpeg(p)
+        assert np.abs(ours.astype(int) - back).max() <= 4
+    assert sizes[50] < sizes[95]
+    # grayscale single-component scan
+    pg = tmp_path / "g.jpg"
+    assert native.encode_jpeg(pg, np.repeat(base[..., None], 4, -1),
+                              quality=90, gray=True)
+    with Image.open(pg) as im:
+        assert im.mode == "L"
+        back = np.asarray(im).astype(int)
+    assert np.abs(back - base.astype(int)).mean() < 3
+
+
+def test_save_by_extension(tmp_path, rng):
+    """imageio.save_image dispatches on extension like sharp's writer."""
+    from bicubic_interpolation_model_tpu.utils.imageio import (
+        load_rgba,
+        save_image,
+    )
+    img = random_image(rng, 33, 47)
+    save_image(tmp_path / "x.png", img)
+    np.testing.assert_array_equal(load_rgba(tmp_path / "x.png"), img)
+    save_image(tmp_path / "x.jpg", img)
+    back = load_rgba(tmp_path / "x.jpg")
+    assert back.shape == img.shape  # lossy, shape + rough content only
+    assert np.abs(back[..., :3].astype(int)
+                  - img[..., :3].astype(int)).mean() < 20
+
+
 def test_jpeg_hostile_inputs_rejected(tmp_path):
     """Truncated/garbage streams must fail cleanly, never crash."""
     cases = [
