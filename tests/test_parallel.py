@@ -191,3 +191,41 @@ def test_learned_spatial_sharded_matches_single_chip(rng, n_spatial):
                                       convention="train")).astype(np.int64)
     assert sharded.shape == single.shape
     assert np.abs(sharded - single).max() <= 1
+
+
+def test_direct_sr_sharded_step_matches_single_device(rng):
+    """The dp x sp sharded direct-SR train step (SRResNetTPU family) computes
+    the same loss and parameter update as the plain single-device step —
+    GSPMD's psum'd grads must be numerically equivalent (f32 tolerance)."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from bicubic_interpolation_model_tpu.models.srresnet_tpu import (
+        SRResNetTPU,
+    )
+    from bicubic_interpolation_model_tpu.parallel.train_sharding import (
+        make_sharded_direct_step,
+    )
+    from bicubic_interpolation_model_tpu.train.trainer import (
+        make_direct_sr_step,
+    )
+
+    net = SRResNetTPU(scale=2, features=16, n_blocks=1)
+    opt = optax.adam(1e-3)
+    b, h = 4, 8
+    lr = jnp.asarray(rng.random((b, h, h, 3), np.float32))
+    hr = jnp.asarray(rng.random((b, h * 2, h * 2, 3), np.float32))
+    params = net.init(jax.random.key(0), lr[:1])
+
+    ref_step = make_direct_sr_step(net, opt)
+    p1, _, loss1, _ = ref_step(params, opt.init(params), lr, hr)
+
+    mesh = make_mesh(8)  # data=4 x spatial=2
+    step, shard, repl = make_sharded_direct_step(net, opt, mesh)
+    p2, _, loss2 = step(repl(params), repl(opt.init(params)), *shard(lr, hr))
+
+    assert abs(float(loss1) - float(loss2)) < 1e-6
+    for a, c in zip(jax.tree.leaves(p1), jax.tree.leaves(p2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(c),
+                                   rtol=2e-5, atol=2e-6)
