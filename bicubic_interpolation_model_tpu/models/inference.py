@@ -71,9 +71,11 @@ _WP_LAYERS = ("conv_in", "conv_res", "upsample", "conv_att", "conv_off",
 
 
 @functools.partial(jax.jit, static_argnames=("scale", "convention",
-                                             "dtype"))
+                                             "dtype", "tail",
+                                             "opaque_alpha"))
 def _super_resolve_packed(params, lr_u8, scale, convention,
-                          dtype=jnp.float32):
+                          dtype=jnp.float32, tail="auto",
+                          opaque_alpha=False):
     """The WeightPredictor forward in PHASE-PACKED layout — every tensor
     stays at LR resolution with the S*S output phases packed into channels,
     so elementwise ops and matmuls always see wide minor dims.
@@ -123,13 +125,31 @@ def _super_resolve_packed(params, lr_u8, scale, convention,
 
     m = jnp.concatenate(
         [upa, jnp.broadcast_to(off_feat, upa.shape[:-1] + (16,))], axis=-1)
+
+    # tail: conv_out (3x3 over packed phases) + tanh + 16-tap apply +
+    # round. On TPU the fused Pallas kernel (ops/pallas_packed_tail)
+    # finishes it in ONE HBM pass of the merged map; the XLA graph
+    # re-reads the map per (phase, tap) — ~3.3 GB vs ~180 MB at 0020
+    # geometry. tail="xla" forces the graph path (also what the
+    # band-sharded path uses); "pallas" forces the kernel (interpreted
+    # off-TPU, for tests).
+    from ..ops.pallas_packed_tail import (packed_tail_pallas,
+                                          packed_tail_supported)
+    c = lr_u8.shape[-1]
+    use_pallas = tail == "pallas" or (
+        tail == "auto" and jax.default_backend() == "tpu")
+    if use_pallas and packed_tail_supported(s, m.shape[-1], c):
+        return packed_tail_pallas(
+            m[0], lr_f32, p["conv_out"]["kernel"], p["conv_out"]["bias"],
+            scale=s, opaque_alpha=opaque_alpha)
+
     mp = jnp.pad(m, ((0, 0), (1, 1), (1, 1), (0, 0), (0, 0), (0, 0)))
 
     # phase-decomposed 3x3 + the 16-tap apply, fused per phase plane
     lr_pad = jnp.pad(lr_f32, ((1, 2), (1, 2), (0, 0)), mode="edge")
     chw = jnp.transpose(lr_pad, (2, 0, 1))                # [C, h+3, w+3]
     out = _packed_phase_tail(mp, chw, p["conv_out"]["kernel"],
-                             p["conv_out"]["bias"], s, lr_u8.shape[-1],
+                             p["conv_out"]["bias"], s, c,
                              h, w)
     return _apply_round(out).astype(jnp.uint8)
 
@@ -222,8 +242,14 @@ def super_resolve(model, params, lr_u8, scale: int = 4,
     p = params.get("params", params) if hasattr(params, "get") else params
     if (not exact and type(model).__name__ == "WeightPredictor"
             and all(k in p for k in _WP_LAYERS)):
+        # constant-alpha frames skip the alpha FMA chain in the Pallas
+        # tail (host-side check; device arrays skip it to avoid a fetch)
+        import numpy as np
+        oa = (isinstance(lr_u8, np.ndarray) and lr_u8.ndim == 3
+              and lr_u8.shape[-1] == 4 and bool((lr_u8[..., 3] == 255).all()))
         return _super_resolve_packed(params, lr, int(scale), convention,
-                                     dtype=_default_dtype(compute_dtype))
+                                     dtype=_default_dtype(compute_dtype),
+                                     opaque_alpha=oa)
     return _super_resolve_fused(model, params, lr, int(scale), convention)
 
 

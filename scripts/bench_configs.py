@@ -32,22 +32,75 @@ def main():
     from bicubic_interpolation_model_tpu.ops.pallas_phase import (
         resize_phase_pallas)
 
-    impl = "pallas_phase" if jax.default_backend() == "tpu" else "matmul"
-    out = {"backend": jax.default_backend(), "impl": impl, "configs": {}}
+    on_tpu = jax.default_backend() == "tpu"
+    impl = "pallas_phase" if on_tpu else "matmul"
+    out = {"backend": jax.default_backend(),
+           "impl": "best(pallas_mxu, pallas_phase)" if on_tpu else impl,
+           "configs": {}}
 
-    # 1-2, 4-5: single-frame configs
+    # 1-2, 4-5: single-frame configs — best delivered-HWC path that keeps
+    # ±1-LSB parity (on TPU: the vM banded-matmul kernel vs the phase
+    # kernel, i.e. what serving.Upscaler auto-routes)
     for key, (h, w, s) in {
         "c1_256_gray_2x": (256, 256, 2),
         "c2_512_rgb_4x": (512, 512, 4),
         "c4_4k_4x": (2160, 3840, 4),
         "c5_1080p_2x_stream": (1080, 1920, 2),
     }.items():
-        r = bench_resize_ondevice(h, w, s, "bicubic", impl=impl)
-        r["max_u8_delta"] = check_parity(s, "bicubic", impl=impl)
+        cands = []
+        for cimpl in (("pallas_mxu", "pallas_phase") if on_tpu else (impl,)):
+            r = bench_resize_ondevice(h, w, s, "bicubic", impl=cimpl)
+            r["impl"] = cimpl
+            r["max_u8_delta"] = check_parity(s, "bicubic", impl=cimpl)
+            cands.append(r)
+        ok = [c for c in cands if c["max_u8_delta"] <= 1] or cands
+        r = max(ok, key=lambda c: c["gpix_per_s"])
         if key == "c5_1080p_2x_stream":
             r["fps"] = 1e3 / r["ms_per_frame"]
         out["configs"][key] = r
         print(key, r)
+
+    # c1 companion: the same 256² gray frames microbatched 8-up through the
+    # banded-matmul kernel (the batch rides the Pallas grid) — what
+    # serving.Upscaler.stream(microbatch='auto') dispatches for small
+    # frames, where per-launch overhead dominates single-frame c1.
+    if on_tpu:
+        from bicubic_interpolation_model_tpu.bench.suite import _make_input
+        from bicubic_interpolation_model_tpu.ops.pallas_mxu import resize_mxu
+        one = _make_input(256, 256, 2)
+        b8 = jax.device_put(
+            np.stack([one ^ np.uint8(i) for i in range(8)]))
+
+        @jax.jit
+        def mb_k(b, k):
+            def body(i, acc):
+                y = resize_mxu(b ^ i.astype(jnp.uint8), 2.0, "bicubic",
+                               layout="flat")
+                return acc + jnp.sum(
+                    y[:, ::67, ::67].astype(jnp.int32))
+            return jax.lax.fori_loop(0, k, body, jnp.int32(0))
+
+        int(np.asarray(mb_k(b8, 1)))
+
+        def timed_mb(k):
+            best = np.inf
+            for _ in range(2):
+                t0 = time.perf_counter()
+                int(np.asarray(mb_k(b8, k)))
+                best = min(best, time.perf_counter() - t0)
+            return best
+
+        per_frame = (timed_mb(40) - timed_mb(4)) / 36 / 8
+        out_pix = 512 * 512
+        out["configs"]["c1_256_gray_2x_microbatch8"] = {
+            "ms_per_frame": per_frame * 1e3,
+            "out_mpix": out_pix / 1e6,
+            "gpix_per_s": out_pix / per_frame / 1e9,
+            "note": "8 frames per launch via resize_mxu batch-on-grid "
+                    "(serving stream microbatch path)",
+        }
+        print("c1_256_gray_2x_microbatch8",
+              out["configs"]["c1_256_gray_2x_microbatch8"])
 
     # 3: batch of 64, mixed scales (bucketed: one jit per scale)
     interp = jax.default_backend() != "tpu"

@@ -95,14 +95,26 @@ def main():
         return section in sections
 
     # ---- classical kernels at 1080p→4x (headline geometry) ----
+    # The primary row is the best *delivered interleaved-HWC* path, i.e.
+    # what serving.Upscaler actually routes: on TPU the vM banded-matmul
+    # kernel (ops/pallas_mxu), with the round-2 phase path kept as a
+    # secondary column for continuity.
     for method in ("nearest", "bilinear", "lanczos", "bicubic") \
             if want("classical") else ():
-        r = bench_resize_ondevice(1080, 1920, 4, method, impl=impl)
-        d = check_parity(4, method, impl=impl, h=96, w=64)
-        row = {"ms_per_frame": r["ms_per_frame"],
-               "gpix_per_s": r["gpix_per_s"], "max_u8_delta": d,
-               "geometry": "1080p->4x"}
-        if method == "bicubic":
+        candidates = ("pallas_mxu", "pallas_phase") if on_tpu else (impl,)
+        cands = []
+        for cimpl in candidates:
+            r = bench_resize_ondevice(1080, 1920, 4, method, impl=cimpl)
+            d = check_parity(4, method, impl=cimpl, h=96, w=64)
+            cands.append({"ms_per_frame": r["ms_per_frame"],
+                          "gpix_per_s": r["gpix_per_s"], "max_u8_delta": d,
+                          "geometry": "1080p->4x", "impl": cimpl})
+        ok = [c for c in cands if c["max_u8_delta"] <= 1] or cands
+        row = max(ok, key=lambda c: c["gpix_per_s"])
+        for c in cands:
+            if c is not row and c["impl"] == "pallas_phase":
+                row["phase_hwc_gpix_per_s"] = c["gpix_per_s"]
+        if method == "bicubic" and on_tpu:
             rp = bench_resize_ondevice(1080, 1920, 4, method,
                                        impl="pallas_phase_planar")
             row["planar_gpix_per_s"] = rp["gpix_per_s"]
@@ -189,13 +201,21 @@ def main():
         from bicubic_interpolation_model_tpu.ops.resize import resize
         for scale in (1.5, 2.5):
             rows = {}
-            for rimpl in ("phase", "matmul"):
+            rimpls = (("pallas_mxu", "phase", "matmul") if on_tpu
+                      else ("phase", "matmul"))
+            for rimpl in rimpls:
                 r = bench_resize_ondevice(1080, 1920, scale, "bicubic",
                                           impl=rimpl)
                 small = _make_input(96, 64)
-                got = np.asarray(
-                    resize(small, scale, "bicubic", impl=rimpl),
-                    dtype=np.int64)
+                if rimpl == "pallas_mxu":
+                    from bicubic_interpolation_model_tpu.ops.pallas_mxu \
+                        import resize_mxu
+                    got = np.asarray(resize_mxu(small, scale, "bicubic"),
+                                     dtype=np.int64)
+                else:
+                    got = np.asarray(
+                        resize(small, scale, "bicubic", impl=rimpl),
+                        dtype=np.int64)
                 ref = resize_oracle(small, scale, "bicubic").astype(np.int64)
                 rows[rimpl] = {
                     "ms_per_frame": r["ms_per_frame"],
@@ -203,10 +223,14 @@ def main():
                     "max_u8_delta": int(np.abs(got - ref).max()),
                 }
                 print(f"bicubic_{scale}x_{rimpl}", rows[rimpl])
+            ok = {k: v for k, v in rows.items() if v["max_u8_delta"] <= 1} \
+                or rows
+            primary = max(ok, key=lambda k: ok[k]["gpix_per_s"])
             out[f"bicubic_{scale}x_1080p"] = {
-                "geometry": f"1080p->{scale}x", **rows["phase"],
-                "impl": "phase",
-                "matmul_gpix_per_s": rows["matmul"]["gpix_per_s"],
+                "geometry": f"1080p->{scale}x", **rows[primary],
+                "impl": primary,
+                **{f"{k}_gpix_per_s": v["gpix_per_s"]
+                   for k, v in rows.items() if k != primary},
             }
 
     # ---- learned weight-predictor paths (fused predict+apply) ----
