@@ -104,14 +104,15 @@ def main():
                           adaptive_targets=adaptive)
         tr = WeightPredictorTrainer(WeightPredictor(scale=4), cfg)
         params = tr.fit(data, log=print)
+        name = f"wp-adaptive-1e-3-{epochs}" if adaptive else f"wp-1e-3-{epochs}"
+        meta = {"model": "WeightPredictor", "scale": 4, "adaptive": adaptive,
+                "train_images": len(data), "epochs": epochs,
+                "holdout": list(holdout), "eval": "pending",
+                "history": tr.history[-5:]}
+        checkpoint.save(root / name, params, meta=meta)   # survive eval crash
         ev = evaluate_wp(tr.model, params, holdout)
         print(f"{wp_variant} held-out eval: {ev}")
-        name = f"wp-adaptive-1e-3-{epochs}" if adaptive else f"wp-1e-3-{epochs}"
-        checkpoint.save(root / name, params, meta={
-            "model": "WeightPredictor", "scale": 4, "adaptive": adaptive,
-            "train_images": len(data), "epochs": epochs,
-            "holdout": list(holdout), "eval": ev,
-            "history": tr.history[-5:]})
+        checkpoint.save(root / name, params, meta={**meta, "eval": ev})
 
     from bicubic_interpolation_model_tpu.models.espcn import MODEL_ZOO
     from bicubic_interpolation_model_tpu.train.direct_trainer import (
@@ -128,12 +129,15 @@ def main():
         model = MODEL_ZOO[name](scale=4)
         tr = DirectSRTrainer(model, cfg)
         params = tr.fit(data, log=print)
+        # save BEFORE eval: a dropped TPU tunnel during the (minutes-long)
+        # full-image eval must not lose the training run
+        meta = {"model": name, "scale": 4, "train_images": len(data),
+                "epochs": epochs, "holdout": list(holdout),
+                "eval": "pending", "history": tr.history[-5:]}
+        checkpoint.save(root / name, params, meta=meta)
         ev = evaluate_direct(tr.model, params, holdout)
         print(f"{name} held-out eval: {ev}")
-        checkpoint.save(root / name, params, meta={
-            "model": name, "scale": 4, "train_images": len(data),
-            "epochs": epochs, "holdout": list(holdout), "eval": ev,
-            "history": tr.history[-5:]})
+        checkpoint.save(root / name, params, meta={**meta, "eval": ev})
 
     print(f"done in {time.time()-t0:.0f}s")
 
