@@ -300,6 +300,9 @@ class ModelUpscaler:
     model_dir: str
     scale: int = 4
     convention: str = "train"
+    #: strict mode — route WeightPredictor checkpoints to the canonical
+    #: fused f32 program instead of the phase-packed fast path
+    exact: bool = False
 
     def __post_init__(self):
         from .evaluation.model_analysis import _load_model_any
@@ -318,7 +321,8 @@ class ModelUpscaler:
             from .models.inference import super_resolve
             out = super_resolve(self.model, self.params, lr_u8,
                                 scale=self.scale,
-                                convention=self.convention)
+                                convention=self.convention,
+                                exact=self.exact)
         return np.asarray(out) if fetch else out
 
     def stream(self, frames: Iterable[np.ndarray]) -> Iterator[np.ndarray]:
