@@ -156,23 +156,32 @@ def _block_kernels(kout, s, twof):
 
 @functools.partial(jax.jit, static_argnames=("scale", "step", "wstep",
                                              "interpret", "layout",
-                                             "opaque_alpha"))
+                                             "opaque_alpha", "halo"))
 def _packed_tail_dispatch(m, lr_f32, kout, bout, scale, step, wstep,
-                          interpret, layout, opaque_alpha):
-    h, w, _ = lr_f32.shape
+                          interpret, layout, opaque_alpha, halo):
     s = int(scale)
     c = lr_f32.shape[-1]
     twof = m.shape[-1]
-    mf = m.reshape(h, w, s * s * twof)
+    if halo == "rows":
+        # band-sharded callers pass REAL neighbor rows: m rows span
+        # [-1, h+1), lr rows span [-1, h+2) (parallel/spatial.py builds
+        # them from ppermute halos) — pad columns only
+        h = m.shape[0] - 2
+        lead = 0
+    else:
+        h = m.shape[0]
+        lead = 1
+    w = m.shape[1]
+    mf = m.reshape(m.shape[0], w, s * s * twof)
     n_i = _round_up(h, step) // step
     n_j = _round_up(w, wstep) // wstep
 
     # zero pad: 1-halo for the 3x3 conv + tile remainders (conv SAME)
-    mp = jnp.pad(mf, ((1, (n_i + 1) * step - h - 1),
+    mp = jnp.pad(mf, ((lead, (n_i + 1) * step - h - 1 - (1 - lead)),
                       (1, (n_j + 1) * wstep - w - 1), (0, 0)))
     # edge pad: (1 leading, 2 trailing) tap reach, like the XLA tail
     lp = jnp.pad(jnp.transpose(lr_f32, (2, 0, 1)),
-                 ((0, 0), (1, (n_i + 1) * step - h - 1),
+                 ((0, 0), (lead, (n_i + 1) * step - lr_f32.shape[0] - lead),
                   (1, (n_j + 1) * wstep - w - 1)), mode="edge")
 
     kb = _block_kernels(kout, s, twof).astype(m.dtype)
@@ -227,7 +236,7 @@ def packed_tail_supported(scale: int, twof: int, c: int) -> bool:
 def packed_tail_pallas(m, lr_f32, kout, bout, *, scale: int = 4,
                        step: int = 16, wstep: int = 128,
                        interpret: bool | None = None, layout: str = "hwc",
-                       opaque_alpha: bool = False):
+                       opaque_alpha: bool = False, halo: str = "zero"):
     """conv_out + tanh + 16-tap apply + round, one fused kernel.
 
     m:      [h, w, S, S, 2F] merged packed map (attended upsample features
@@ -235,23 +244,33 @@ def packed_tail_pallas(m, lr_f32, kout, bout, *, scale: int = 4,
             matmuls run in m.dtype, tanh/apply in f32
     lr_f32: [h, w, c] LR pixels as f32 (0..255)
     kout:   [3, 3, 2F, 16] conv_out kernel;  bout: [16] bias
+    halo:   "zero" — single-chip semantics: the kernel zero-pads m (conv
+            SAME) and edge-pads lr itself. "rows" — band-sharded callers
+            (parallel/spatial._learned_spatial) pass REAL neighbor rows:
+            m is [h+2, w, ...] spanning band rows [-1, h+1) and lr_f32 is
+            [h+3, w, c] spanning [-1, h+2); only columns are padded here.
     Returns u8 HWC [h*S, w*S, c] (layout="hwc"), RGBA32 ("hwc32"), or the
     raw planar u32 ("planar").
     """
     if m.ndim == 6:                     # tolerate the [1, ...] batch dim
         m = m[0]
-    h, w = m.shape[:2]
+    w = m.shape[1]
+    h = m.shape[0] - 2 if halo == "rows" else m.shape[0]
     s = int(scale)
     twof = m.shape[-1]
     if not packed_tail_supported(s, twof, lr_f32.shape[-1]):
         raise ValueError(f"packed tail needs S*2F==128, c<=4; got "
                          f"S={s}, 2F={twof}, c={lr_f32.shape[-1]}")
+    if halo == "rows" and lr_f32.shape[0] != h + 3:
+        raise ValueError(f"halo='rows' expects lr rows == h+3 "
+                         f"({h + 3}), got {lr_f32.shape[0]}")
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     # tile dims: rows are the untiled outer dim, cols are SUBLANES (the
     # lane dim is the 512-wide packed feature axis) — 8-granular, not 128
     step = min(step, _round_up(h, 8))
     wstep = min(wstep, _round_up(w, 8))
-    return _packed_tail_dispatch(m.reshape(h, w, s, s, twof), lr_f32, kout,
-                                 bout, s, step, wstep, bool(interpret),
-                                 layout, bool(opaque_alpha))
+    return _packed_tail_dispatch(m.reshape(m.shape[0], w, s, s, twof),
+                                 lr_f32, kout, bout, s, step, wstep,
+                                 bool(interpret), layout,
+                                 bool(opaque_alpha), halo)

@@ -225,10 +225,13 @@ _LEARNED_HALO = 3   # conv_in(1) + conv_res(1) + conv_out(±1 LR row)
 
 
 @functools.partial(jax.jit, static_argnames=("scale", "convention", "mesh",
-                                             "axis"))
-def _learned_spatial(params, img_hwc, scale, convention, mesh, axis):
+                                             "axis", "tail"))
+def _learned_spatial(params, img_hwc, scale, convention, mesh, axis,
+                     tail="auto"):
     from ..models import inference as inf
     from ..ops.learned import _apply_round
+    from ..ops.pallas_packed_tail import (packed_tail_pallas,
+                                          packed_tail_supported)
 
     h, w, c = img_hwc.shape
     s = int(scale)
@@ -275,9 +278,6 @@ def _learned_spatial(params, img_hwc, scale, convention, mesh, axis):
             [upa, jnp.broadcast_to(off_feat, upa.shape[:-1] + (16,))],
             axis=-1)
         m = outside_zeroed(m)
-        # mp rows r in [-1, hb+1): ext rows [hh-1, hh+hb+1); cols 1 zero pad
-        mp = jnp.pad(m[:, hh - 1:hh + hb + 1],
-                     ((0, 0), (0, 0), (1, 1), (0, 0), (0, 0), (0, 0)))
 
         # apply taps: LR rows [-1, hb+2) with REPLICATE values at the true
         # borders (the apply clamps tap positions to the image)
@@ -287,6 +287,20 @@ def _learned_spatial(params, img_hwc, scale, convention, mesh, axis):
                           jnp.broadcast_to(xa[-3:-2], xa[-2:].shape),
                           xa[-2:])
         xa = jnp.concatenate([first, xa[1:-2], last2], axis=0)
+
+        use_pallas = tail == "pallas" or (
+            tail == "auto" and jax.default_backend() == "tpu")
+        if use_pallas and packed_tail_supported(s, m.shape[-1], c):
+            # fused Pallas tail per band: pre-haloed rows [-1, hb+1)
+            return packed_tail_pallas(
+                m[0, hh - 1:hh + hb + 1], xa,
+                p["conv_out"]["kernel"], p["conv_out"]["bias"],
+                scale=s, halo="rows",
+                interpret=jax.default_backend() != "tpu")
+
+        # mp rows r in [-1, hb+1): ext rows [hh-1, hh+hb+1); cols 1 zero pad
+        mp = jnp.pad(m[:, hh - 1:hh + hb + 1],
+                     ((0, 0), (0, 0), (1, 1), (0, 0), (0, 0), (0, 0)))
         chw = jnp.transpose(jnp.pad(xa, ((0, 0), (1, 2), (0, 0)),
                                     mode="edge"), (2, 0, 1))  # [C,hb+3,W+3]
 
@@ -304,7 +318,8 @@ def _learned_spatial(params, img_hwc, scale, convention, mesh, axis):
 
 def learned_resize_spatial_sharded(model, params, img, scale=4, *,
                                    mesh: Mesh, axis: str = "spatial",
-                                   convention: str = "train"):
+                                   convention: str = "train",
+                                   tail: str = "auto"):
     """Learned weight-predictor SR of one HWC uint8 frame with its LR rows
     band-sharded over ``mesh[axis]`` — the packed-phase forward
     (models/inference._super_resolve_packed) runs per band.
@@ -326,7 +341,8 @@ def learned_resize_spatial_sharded(model, params, img, scale=4, *,
         raise ValueError(f"H={img.shape[0]} not divisible by {n} shards")
     if img.shape[0] // n < _LEARNED_HALO:
         raise ValueError("bands must be at least 3 rows tall")
-    return _learned_spatial(params, img, int(scale), convention, mesh, axis)
+    return _learned_spatial(params, img, int(scale), convention, mesh, axis,
+                            tail=tail)
 
 
 def resize_spatial_sharded(img, scale, method: str = "bicubic", *,
