@@ -1,0 +1,144 @@
+#!/usr/bin/env python3
+"""Stage-level lab for the packed learned path (VERDICT r2 item 5: ≤6 ms at
+the 0020 geometry). Measures, with the chained-K methodology:
+
+  full_xla / full_pallas   — e2e _super_resolve_packed, both tails
+  upstream                 — conv_in/res + packed upsample+att + concat
+                             (everything that produces the merged map)
+  tail_xla / tail_pallas   — the tail alone on a fixed merged map
+  f32 variants             — the same without bf16 model stages
+
+Run on the TPU from /root/repo. Appends a summary row to
+results/method_throughput.json is NOT done here — this is a lab, the
+throughput refresh (scripts/method_throughput.py --only learned) publishes.
+"""
+
+import pathlib
+import sys
+import time
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
+
+import numpy as np
+
+LR_H, LR_W = 348, 510
+
+
+def chained(fn, x, k_lo=3, k_hi=15, reps=3):
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def run(x, k):
+        def body(i, acc):
+            xi = x ^ i.astype(x.dtype) if x.dtype == jnp.uint8 \
+                else x + i.astype(x.dtype) * 1e-6
+            y = fn(xi)
+            return acc + jnp.sum(y[..., ::64, ::64].astype(jnp.float32))
+        return jax.lax.fori_loop(0, k, body, jnp.float32(0))
+
+    float(np.asarray(run(x, 1)))
+
+    def timed(k):
+        best = np.inf
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            float(np.asarray(run(x, k)))
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    return max((timed(k_hi) - timed(k_lo)) / (k_hi - k_lo), 1e-9)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from bicubic_interpolation_model_tpu.evaluation.model_analysis import (
+        _load_model_any)
+    from bicubic_interpolation_model_tpu.models import inference as inf
+    from bicubic_interpolation_model_tpu.ops.pallas_packed_tail import (
+        packed_tail_pallas)
+
+    root = pathlib.Path(__file__).resolve().parents[1]
+    model, params = _load_model_any(root / "model" / "wp-1e-3-120")
+    p = params["params"] if "params" in params else params
+    rng = np.random.default_rng(0)
+    lr = jax.device_put(rng.integers(0, 256, (LR_H, LR_W, 4), np.uint8))
+    on_tpu = jax.default_backend() == "tpu"
+    print(f"backend={jax.default_backend()}  geometry {LR_H}x{LR_W}->4x")
+
+    rows = {}
+    for dname, dt in (("bf16", jnp.bfloat16), ("f32", jnp.float32)):
+        for tail in ("xla", "pallas"):
+            per = chained(lambda x, dt=dt, tail=tail: inf._super_resolve_packed(
+                params, x, 4, "train", dtype=dt, tail=tail), lr)
+            rows[f"full_{tail}_{dname}"] = per * 1e3
+            print(f"full_{tail}_{dname}: {per * 1e3:.2f} ms")
+
+    # upstream only: everything that produces the merged map
+    def upstream(lr_u8, dt):
+        pc, _ = inf._cast_compute(p, jnp.zeros((), jnp.float32), dt)
+        xf = ((lr_u8.astype(jnp.float32) / 255.0).astype(dt))[None]
+
+        def conv(x, kp):
+            return jax.lax.conv_general_dilated(
+                x, kp["kernel"], (1, 1), "SAME",
+                dimension_numbers=("NHWC", "HWIO", "NHWC")) + kp["bias"]
+
+        y = jax.nn.relu(conv(xf, pc["conv_in"]))
+        y = y + conv(y, pc["conv_res"])
+        upa = inf._packed_upsample_att(pc, y)
+        off = inf._packed_off_feat(pc, 4, "train")
+        return jnp.concatenate(
+            [upa, jnp.broadcast_to(off, upa.shape[:-1] + (16,))], axis=-1)
+
+    # upstream ends in a POINTWISE einsum — a strided checksum would let
+    # XLA elide all unsampled phase columns (PERF_NOTES "checksum
+    # fusion"), so this row is program-output timed (includes ~one
+    # dispatch of overhead; it exists to apportion, not to publish)
+    from bicubic_interpolation_model_tpu.bench.suite import (
+        bench_program_output)
+    for dname, dt in (("bf16", jnp.bfloat16), ("f32", jnp.float32)):
+        per = bench_program_output(
+            lambda x, dt=dt: upstream(x, dt), lr)
+        rows[f"upstream_{dname}"] = per * 1e3
+        print(f"upstream_{dname}: {per * 1e3:.2f} ms")
+
+    # tail only, on a fixed merged map
+    for dname, dt in (("bf16", jnp.bfloat16), ("f32", jnp.float32)):
+        pc, _ = inf._cast_compute(p, jnp.zeros((), jnp.float32), dt)
+        m = jax.block_until_ready(
+            jax.jit(lambda x: upstream(x, dt))(lr))
+        lrf = lr.astype(jnp.float32)
+        kout = jnp.asarray(pc["conv_out"]["kernel"])
+        bout = jnp.asarray(pc["conv_out"]["bias"])
+
+        per = chained(lambda mm: packed_tail_pallas(
+            mm[0], lrf, kout, bout, scale=4,
+            interpret=not on_tpu), m)
+        rows[f"tail_pallas_{dname}"] = per * 1e3
+        print(f"tail_pallas_{dname}: {per * 1e3:.2f} ms")
+
+        def xla_tail(mm):
+            mp = jnp.pad(mm, ((0, 0), (1, 1), (1, 1), (0, 0), (0, 0),
+                              (0, 0)))
+            lr_pad = jnp.pad(lrf, ((1, 2), (1, 2), (0, 0)), mode="edge")
+            chw = jnp.transpose(lr_pad, (2, 0, 1))
+            out = inf._packed_phase_tail(mp, chw, kout, bout, 4, 4,
+                                         LR_H, LR_W)
+            from bicubic_interpolation_model_tpu.ops.learned import (
+                _apply_round)
+            return _apply_round(out).astype(jnp.uint8)
+
+        per = chained(xla_tail, m)
+        rows[f"tail_xla_{dname}"] = per * 1e3
+        print(f"tail_xla_{dname}: {per * 1e3:.2f} ms")
+
+    print("\nsummary (ms):")
+    for k, v in rows.items():
+        print(f"  {k:>22}: {v:8.2f}")
+
+
+if __name__ == "__main__":
+    main()
