@@ -277,3 +277,34 @@ def super_resolve_direct(model, params, lr_u8, *, compute_dtype=None):
     dt = jnp.float32 if compute_dtype is None else jnp.dtype(compute_dtype)
     y = _apply_direct(model, params, x[None], dtype=dt)[0]
     return jnp.clip(jnp.floor(y * 255.0 + 0.5), 0, 255).astype(jnp.uint8)
+
+
+def super_resolve_batch(model, params, lrs_u8, scale: int = 4,
+                        convention: str = "inference", *,
+                        exact: bool = False, compute_dtype=None):
+    """[B, H, W, C] same-size frames in ONE launch.
+
+    WeightPredictor checkpoints: ``jax.vmap`` lifts the batch onto the
+    packed forward — the fused Pallas tail's grid grows a leading batch
+    dimension, so small frames amortize per-launch overhead exactly like
+    the classical ``Upscaler.batch`` path (ops/pallas_mxu batch-on-grid).
+    Direct-regression models are natively batched. Same numerics contracts
+    as :func:`super_resolve` / :func:`super_resolve_direct`.
+    """
+    lrs = jnp.asarray(lrs_u8)
+    if lrs.ndim != 4:
+        raise ValueError("expected [B, H, W, C] uint8")
+    p = params.get("params", params) if hasattr(params, "get") else params
+    if type(model).__name__ != "WeightPredictor":
+        dt = (jnp.float32 if compute_dtype is None
+              else jnp.dtype(compute_dtype))
+        x = lrs.astype(jnp.float32) / 255.0
+        y = _apply_direct(model, params, x, dtype=dt)
+        return jnp.clip(jnp.floor(y * 255.0 + 0.5), 0, 255).astype(jnp.uint8)
+    if not exact and all(k in p for k in _WP_LAYERS):
+        fn = lambda im: _super_resolve_packed(
+            params, im, int(scale), convention,
+            dtype=_default_dtype(compute_dtype))
+        return jax.vmap(fn)(lrs)
+    return jax.vmap(lambda im: _super_resolve_fused(
+        model, params, im, int(scale), convention))(lrs)

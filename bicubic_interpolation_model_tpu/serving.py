@@ -325,6 +325,16 @@ class ModelUpscaler:
                                 exact=self.exact)
         return np.asarray(out) if fetch else out
 
+    def batch(self, lrs_u8, fetch: bool = True):
+        """[B, H, W, C] same-size frames in one launch (the WP path's
+        fused Pallas tail grows a leading grid dimension via vmap)."""
+        from .models.inference import super_resolve_batch
+        out = super_resolve_batch(
+            self.model, self.params,
+            lrs_u8[..., :3] if self._direct else lrs_u8,
+            scale=self.scale, convention=self.convention, exact=self.exact)
+        return np.asarray(out) if fetch else out
+
     def stream(self, frames: Iterable[np.ndarray]) -> Iterator[np.ndarray]:
         pending = None
         for frame in frames:

@@ -90,6 +90,31 @@ def test_model_upscaler(reference_root, rng):
     assert out.shape == (40, 32, 4) and out.dtype == np.uint8
 
 
+def test_model_upscaler_batch(reference_root, rng):
+    """ModelUpscaler.batch == per-frame calls, for both model families
+    (WP batches via vmap over the packed forward — on TPU the fused
+    Pallas tail's grid grows a batch dim; direct models batch natively)."""
+    import pathlib
+    mu = ModelUpscaler(str(reference_root / "model" / "1e-3-30"))
+    frames = np.stack([random_image(rng, 12, 10) for _ in range(3)])
+    outs = mu.batch(frames)
+    assert outs.shape == (3, 48, 40, 4) and outs.dtype == np.uint8
+    for i in range(3):
+        np.testing.assert_array_equal(outs[i], mu(frames[i]))
+    ckpt = (pathlib.Path(__file__).resolve().parents[1] / "model"
+            / "espcn_medium")
+    if ckpt.exists():
+        mu = ModelUpscaler(str(ckpt))
+        outs = mu.batch(frames)
+        assert outs.shape == (3, 48, 40, 3)
+        for i in range(3):
+            # XLA may pick a different conv schedule at batch 3 vs 1 →
+            # f32 reassociation → rarely ±1 u8 after rounding
+            d = np.abs(outs[i].astype(np.int64)
+                       - mu(frames[i]).astype(np.int64))
+            assert d.max() <= 1 and (d > 0).mean() < 1e-3
+
+
 def test_model_upscaler_exact_mode(reference_root, rng):
     """exact=True at the SERVING level routes to the canonical fused f32
     program (strict mode, VERDICT r2 weak #3) — within the documented
