@@ -58,6 +58,52 @@ def _fetch(out):
     return a
 
 
+def _stream_grouped(frames, single, batched, group_size, fetch_single):
+    """The stream walker shared by Upscaler/ModelUpscaler: group
+    consecutive SAME-SHAPE frames up to ``group_size(img)`` per launch,
+    keep one dispatch in flight (yield frame i-1 while i computes), and
+    preserve output order."""
+    def dispatch(group):
+        if len(group) == 1:
+            return (single(group[0]), 1)
+        return (batched(np.stack(group)), len(group))
+
+    def emit(out, n):
+        if n == 1:
+            yield fetch_single(out)
+            return
+        arr = np.asarray(out)  # [B, H', W', C] device batch
+        for i in range(n):
+            yield arr[i]
+
+    pending = None
+    group: list[np.ndarray] = []
+    for frame in frames:
+        img = np.asarray(frame)
+        limit = group_size(img)
+        if group and (img.shape != group[0].shape
+                      or len(group) >= limit):
+            out = dispatch(group)
+            group = []
+            if pending is not None:
+                yield from emit(*pending)
+            pending = out
+        group.append(img)
+        if len(group) >= limit:
+            out = dispatch(group)
+            group = []
+            if pending is not None:
+                yield from emit(*pending)
+            pending = out
+    if group:
+        out = dispatch(group)
+        if pending is not None:
+            yield from emit(*pending)
+        pending = out
+    if pending is not None:
+        yield from emit(*pending)
+
+
 @dataclasses.dataclass
 class Upscaler:
     """``bucket``: round frame extents up to multiples of this many LR
@@ -251,45 +297,9 @@ class Upscaler:
                 return 1
             return max(1, int(round(2 ** 20 / px)))
 
-        def dispatch(group):
-            if len(group) == 1:
-                return (fn(group[0]), 1)
-            return (self.batch(np.stack(group), fetch=False), len(group))
-
-        def emit(out, n):
-            if n == 1:
-                yield _fetch(out)
-                return
-            arr = np.asarray(out)  # [B, H', W', C] device batch
-            for i in range(n):
-                yield arr[i]
-
-        pending = None
-        group: list[np.ndarray] = []
-        for frame in frames:
-            img = np.asarray(frame)
-            limit = group_size(img)
-            if group and (img.shape != group[0].shape
-                          or len(group) >= limit):
-                out = dispatch(group)
-                group = []
-                if pending is not None:
-                    yield from emit(*pending)
-                pending = out
-            group.append(img)
-            if len(group) >= limit:
-                out = dispatch(group)
-                group = []
-                if pending is not None:
-                    yield from emit(*pending)
-                pending = out
-        if group:
-            out = dispatch(group)
-            if pending is not None:
-                yield from emit(*pending)
-            pending = out
-        if pending is not None:
-            yield from emit(*pending)
+        yield from _stream_grouped(
+            frames, fn, lambda g: self.batch(g, fetch=False), group_size,
+            _fetch)
 
 
 @dataclasses.dataclass
@@ -335,12 +345,31 @@ class ModelUpscaler:
             scale=self.scale, convention=self.convention, exact=self.exact)
         return np.asarray(out) if fetch else out
 
-    def stream(self, frames: Iterable[np.ndarray]) -> Iterator[np.ndarray]:
-        pending = None
-        for frame in frames:
-            out = self(jax.device_put(np.asarray(frame)), fetch=False)
-            if pending is not None:
-                yield np.asarray(pending)
-            pending = out
-        if pending is not None:
-            yield np.asarray(pending)
+    #: below this LR pixel count, stream() groups frames (the learned
+    #: forward at ≥0.15 MPix is compute-dominated; tiny frames are
+    #: launch-bound like the classical c1 case)
+    MICROBATCH_THRESHOLD_PX = 256 * 256
+
+    def stream(self, frames: Iterable[np.ndarray],
+               microbatch="auto") -> Iterator[np.ndarray]:
+        """Per-frame results with dispatch/fetch overlap. ``microbatch``
+        groups consecutive same-shape frames below 256² into one launch
+        (~0.25 MPix per dispatch) — for WP checkpoints the batch is a
+        leading Pallas-grid/vmap dimension (bit-identical on TPU); direct
+        conv models may shift ±1 u8 LSB when XLA picks a different conv
+        schedule at the grouped batch size."""
+        def group_size(img):
+            if microbatch is None:
+                return 1
+            if isinstance(microbatch, int):
+                return max(1, microbatch)
+            px = img.shape[0] * img.shape[1]
+            if px >= self.MICROBATCH_THRESHOLD_PX:
+                return 1
+            return max(1, int(round(2 ** 18 / px)))
+
+        yield from _stream_grouped(
+            frames,
+            lambda img: self(jax.device_put(img), fetch=False),
+            lambda g: self.batch(g, fetch=False),
+            group_size, np.asarray)

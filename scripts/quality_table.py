@@ -4,8 +4,9 @@ flow) over the checked-in HR images: LR = lanczos3 /4 downsample, rebuild with
 every method (classical + learned + neural baselines), PSNR/SSIM/MSE vs HR.
 
 Writes results/metrics_report.csv and prints the per-method averages.
-Note: the learned checkpoints were trained on these HR images EXCEPT 0020
-(held out) — 0020's row is the honest generalization number.
+Note: the learned checkpoints were trained on these HR images EXCEPT the
+3-id holdout 0020/0691/0886 — those rows are the honest generalization
+numbers (results/README.md caveat 1).
 
 Run on CPU (quality, not perf): JAX_PLATFORM_NAME=cpu python scripts/quality_table.py
 """

@@ -115,6 +115,21 @@ def test_model_upscaler_batch(reference_root, rng):
             assert d.max() <= 1 and (d > 0).mean() < 1e-3
 
 
+def test_model_upscaler_stream_microbatch(reference_root, rng):
+    """Mixed-shape learned stream: grouping preserves order and per-frame
+    values (WP batches are a vmap/grid dim — exact on the packed path)."""
+    mu = ModelUpscaler(str(reference_root / "model" / "1e-3-30"))
+    frames = [random_image(rng, 12, 10), random_image(rng, 12, 10),
+              random_image(rng, 8, 16), random_image(rng, 12, 10)]
+    outs = list(mu.stream(frames))
+    assert len(outs) == 4
+    for f, o in zip(frames, outs):
+        np.testing.assert_array_equal(o, mu(f))
+    solo = list(mu.stream(frames, microbatch=None))
+    for a, b in zip(outs, solo):
+        np.testing.assert_array_equal(a, b)
+
+
 def test_model_upscaler_exact_mode(reference_root, rng):
     """exact=True at the SERVING level routes to the canonical fused f32
     program (strict mode, VERDICT r2 weak #3) — within the documented
