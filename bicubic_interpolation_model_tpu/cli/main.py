@@ -86,7 +86,8 @@ def cmd_sr(args):
     elif method == "model":
         from ..models.inference import super_resolve
         model, params = _load_model(args.model_dir)
-        fn = lambda: super_resolve(model, params, lr, scale=int(scale))
+        fn = lambda: super_resolve(model, params, lr, scale=int(scale),
+                                   exact=args.exact)
     elif method in ("espcn_medium", "espcn_thick", "esrgan_lite",
                     "esrgan_plus", "srresnet_tpu"):
         from ..models.espcn import MODEL_ZOO
@@ -133,7 +134,7 @@ def cmd_sr_all(args):
     if model_dir:
         runs.append(("model", model_dir))
     for name in ("espcn_medium", "espcn_thick", "esrgan_lite",
-                 "esrgan_plus"):
+                 "esrgan_plus", "srresnet_tpu"):
         d = ws / "model" / name
         if (d / "params.msgpack").exists():
             runs.append((name, str(d)))
@@ -144,6 +145,7 @@ def cmd_sr_all(args):
         sub.test_item = None
         sub.input = None
         sub.output = None
+        sub.exact = getattr(args, "exact", False)
         print(f"=== {m} ===")
         cmd_sr(sub)
 
@@ -274,6 +276,11 @@ def build_parser():
         prog="bim-tpu", description=__doc__,
         formatter_class=argparse.RawDescriptionHelpFormatter)
     p.add_argument("--workspace", default=".", help="workspace root")
+    p.add_argument("--cpu", action="store_true",
+                   help="force the CPU backend (the axon TPU plugin "
+                        "ignores JAX_PLATFORMS; this calls "
+                        "jax.config.update before backend init — use when "
+                        "no TPU is reachable)")
     sub = p.add_subparsers(dest="cmd", required=True)
 
     sp = sub.add_parser("make-lr", help="downsample HR → LR png")
@@ -291,6 +298,9 @@ def build_parser():
     sp.add_argument("--impl", default="auto")
     sp.add_argument("--a", type=float, default=-0.5)
     sp.add_argument("--model-dir")
+    sp.add_argument("--exact", action="store_true",
+                    help="learned SR strict mode: the canonical fused f32 "
+                         "program instead of the packed fast path")
     sp.add_argument("--runs", type=int, default=2)
     sp.add_argument("--test-item")
     sp.set_defaults(func=cmd_sr)
@@ -372,6 +382,9 @@ def build_parser():
 
 def main(argv=None):
     args = build_parser().parse_args(argv)
+    if getattr(args, "cpu", False):
+        import jax
+        jax.config.update("jax_platforms", "cpu")
     # workspace config supplies the image-id default (the reference's
     # config.js HRID knob); an explicit --image-id always wins.
     if hasattr(args, "image_id") and args.image_id is None:
