@@ -125,7 +125,8 @@ def main():
         for (m, p, name) in wp_list:
             rebuilds[name] = (lambda m=m, p=p: np.asarray(super_resolve(
                 m, p, lr, scale=SCALE, convention="train")))
-        for key in ("espcn_medium", "espcn_thick", "esrgan_lite", "esrgan_plus"):
+        for key in ("espcn_medium", "espcn_thick", "esrgan_lite",
+                    "esrgan_plus", "srresnet_tpu"):
             if key in own:
                 m, p, name = own[key]
                 rebuilds[name] = (lambda m=m, p=p: direct(m, p))
