@@ -216,7 +216,7 @@ def _packed_phase_tail(mp, chw, kout, bout, s, c, h, w):
 
 def super_resolve(model, params, lr_u8, scale: int = 4,
                   convention: str = "inference", *, exact: bool = False,
-                  compute_dtype=None):
+                  compute_dtype=None, opaque_alpha: bool = False):
     """Full learned SR: uint8 LR in, uint8 SR out, one compiled program.
 
     ``convention`` defaults to the reference's inference-time offsets
@@ -242,14 +242,13 @@ def super_resolve(model, params, lr_u8, scale: int = 4,
     p = params.get("params", params) if hasattr(params, "get") else params
     if (not exact and type(model).__name__ == "WeightPredictor"
             and all(k in p for k in _WP_LAYERS)):
-        # constant-alpha frames skip the alpha FMA chain in the Pallas
-        # tail (host-side check; device arrays skip it to avoid a fetch)
-        import numpy as np
-        oa = (isinstance(lr_u8, np.ndarray) and lr_u8.ndim == 3
-              and lr_u8.shape[-1] == 4 and bool((lr_u8[..., 3] == 255).all()))
+        # opaque_alpha is EXPLICIT opt-in (ModelUpscaler(opaque_alpha=True)):
+        # auto-detecting per call would scan the host frame (O(H*W)) and
+        # give batch/stream (device arrays, undetectable) different alpha
+        # rounding than per-frame calls — ±1 LSB entry-point skew
         return _super_resolve_packed(params, lr, int(scale), convention,
                                      dtype=_default_dtype(compute_dtype),
-                                     opaque_alpha=oa)
+                                     opaque_alpha=opaque_alpha)
     return _super_resolve_fused(model, params, lr, int(scale), convention)
 
 
@@ -281,7 +280,8 @@ def super_resolve_direct(model, params, lr_u8, *, compute_dtype=None):
 
 def super_resolve_batch(model, params, lrs_u8, scale: int = 4,
                         convention: str = "inference", *,
-                        exact: bool = False, compute_dtype=None):
+                        exact: bool = False, compute_dtype=None,
+                        opaque_alpha: bool = False):
     """[B, H, W, C] same-size frames in ONE launch.
 
     WeightPredictor checkpoints: ``jax.vmap`` lifts the batch onto the
@@ -304,7 +304,8 @@ def super_resolve_batch(model, params, lrs_u8, scale: int = 4,
     if not exact and all(k in p for k in _WP_LAYERS):
         fn = lambda im: _super_resolve_packed(
             params, im, int(scale), convention,
-            dtype=_default_dtype(compute_dtype))
+            dtype=_default_dtype(compute_dtype),
+            opaque_alpha=opaque_alpha)
         return jax.vmap(fn)(lrs)
     return jax.vmap(lambda im: _super_resolve_fused(
         model, params, im, int(scale), convention))(lrs)

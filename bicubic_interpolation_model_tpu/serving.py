@@ -313,6 +313,11 @@ class ModelUpscaler:
     #: strict mode — route WeightPredictor checkpoints to the canonical
     #: fused f32 program instead of the phase-packed fast path
     exact: bool = False
+    #: promise that every frame's alpha channel is a constant 255: the
+    #: fused Pallas tail then computes alpha as round(255*sum(w)) instead
+    #: of the 16-tap FMA (±1 u8 LSB of f32 reassociation on alpha only).
+    #: Explicit opt-in so per-frame, batch and stream entry points agree.
+    opaque_alpha: bool = False
 
     def __post_init__(self):
         from .evaluation.model_analysis import _load_model_any
@@ -332,7 +337,8 @@ class ModelUpscaler:
             out = super_resolve(self.model, self.params, lr_u8,
                                 scale=self.scale,
                                 convention=self.convention,
-                                exact=self.exact)
+                                exact=self.exact,
+                                opaque_alpha=self.opaque_alpha)
         return np.asarray(out) if fetch else out
 
     def batch(self, lrs_u8, fetch: bool = True):
@@ -342,7 +348,8 @@ class ModelUpscaler:
         out = super_resolve_batch(
             self.model, self.params,
             lrs_u8[..., :3] if self._direct else lrs_u8,
-            scale=self.scale, convention=self.convention, exact=self.exact)
+            scale=self.scale, convention=self.convention, exact=self.exact,
+            opaque_alpha=self.opaque_alpha)
         return np.asarray(out) if fetch else out
 
     #: below this LR pixel count, stream() groups frames (the learned

@@ -67,7 +67,7 @@ def main():
     if on_tpu:
         from bicubic_interpolation_model_tpu.bench.suite import _make_input
         from bicubic_interpolation_model_tpu.ops.pallas_mxu import resize_mxu
-        one = _make_input(256, 256, 2)
+        one = _make_input(256, 256)   # c=4, same input as the c1 row
         b8 = jax.device_put(
             np.stack([one ^ np.uint8(i) for i in range(8)]))
 

@@ -226,11 +226,14 @@ def main():
             ok = {k: v for k, v in rows.items() if v["max_u8_delta"] <= 1} \
                 or rows
             primary = max(ok, key=lambda k: ok[k]["gpix_per_s"])
+            # stable schema: every measured impl gets its named column
+            # (including the primary), so round-over-round diffs never
+            # lose keys when the parity-gated winner changes
             out[f"bicubic_{scale}x_1080p"] = {
                 "geometry": f"1080p->{scale}x", **rows[primary],
                 "impl": primary,
                 **{f"{k}_gpix_per_s": v["gpix_per_s"]
-                   for k, v in rows.items() if k != primary},
+                   for k, v in rows.items()},
             }
 
     # ---- learned weight-predictor paths (fused predict+apply) ----

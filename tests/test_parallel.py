@@ -191,11 +191,14 @@ def test_learned_spatial_sharded_matches_single_chip(rng, n_spatial):
                                       convention="train")).astype(np.int64)
     assert sharded.shape == single.shape
     assert np.abs(sharded - single).max() <= 1
-    # the fused Pallas tail per band (what TPU meshes auto-route) agrees
-    # within the same envelope — interpreted on the CPU mesh
+    # the fused Pallas tail per band (what TPU meshes auto-route),
+    # interpreted on the CPU mesh: ≤1 LSB vs the sharded XLA tail (same
+    # halo semantics) and ≤2 vs single-chip (two independent ±1 sources
+    # — band-halo reassociation and the 128-deep contraction — can stack)
     pallas = np.asarray(learned_resize_spatial_sharded(
         model, params, img, 4, mesh=mesh, tail="pallas")).astype(np.int64)
-    assert np.abs(pallas - single).max() <= 1
+    assert np.abs(pallas - sharded).max() <= 1
+    assert np.abs(pallas - single).max() <= 2
 
 
 def test_direct_sr_sharded_step_matches_single_device(rng):
