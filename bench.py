@@ -14,7 +14,23 @@ import sys
 
 
 def main():
+    import os
+    import threading
+
     import jax
+
+    # a dead TPU tunnel makes device discovery hang forever; emit an
+    # explicit error line instead so the driver records WHY there is no
+    # number (first jit compile is ~40 s — 300 s is comfortably clear)
+    probe = threading.Thread(target=jax.devices, daemon=True)
+    probe.start()
+    probe.join(300)
+    if probe.is_alive():
+        print(json.dumps({"metric": "bicubic_4x_throughput", "value": 0.0,
+                          "unit": "GPix/s", "vs_baseline": 0.0,
+                          "error": "device discovery timed out (TPU "
+                                   "tunnel unreachable)"}))
+        os._exit(1)
 
     from bicubic_interpolation_model_tpu.bench.suite import (
         REFERENCE_BICUBIC_GPIX_S,
