@@ -351,13 +351,11 @@ def adaptive_resize_pallas_batch(imgs_u8, scale: int, a: float = -0.5, *,
                                  step: int = 16, wstep: int = 512,
                                  interpret: bool | None = None,
                                  layout: str = "hwc",
-                                 opaque_alpha: bool | None = None):
+                                 opaque_alpha: bool = False):
     """[B, H, W, C] same-size frames in one launch — ``jax.vmap`` lifts the
     batch onto a leading Pallas grid dimension (the per-frame geometry is
     identical, so the host-built weight vectors are shared)."""
-    opaque_alpha = _detect_opaque_alpha(np.asarray(imgs_u8)
-                                        if isinstance(imgs_u8, np.ndarray)
-                                        else imgs_u8, opaque_alpha)
+    opaque_alpha = bool(opaque_alpha)
     imgs = jnp.asarray(imgs_u8)
     if imgs.ndim != 4:
         raise ValueError("expected [B, H, W, C] uint8")
@@ -389,23 +387,18 @@ def unpack_planar(packed_u32, h: int, w: int, scale: int, c: int):
     return o[..., :c].reshape(h * s, w * s, c)
 
 
-def _detect_opaque_alpha(img, opaque_alpha):
-    """Resolve the ``opaque_alpha`` tri-state: None auto-detects on HOST
-    arrays only (device arrays would need a fetch; callers that know the
-    alpha channel is constant 255 pass True explicitly)."""
-    if opaque_alpha is not None:
-        return bool(opaque_alpha)
-    if isinstance(img, np.ndarray) and img.ndim >= 3 and img.shape[-1] == 4:
-        return bool((img[..., 3] == 255).all())
-    return False
 
 
 def adaptive_resize_pallas(img_u8, scale: int, a: float = -0.5, *,
                            step: int = 16, wstep: int = 512,
                            interpret: bool | None = None,
                            layout: str = "hwc",
-                           opaque_alpha: bool | None = None):
+                           opaque_alpha: bool = False):
     """Fused adaptive-bicubic SR of an HWC uint8 image (integer scale).
+
+    ``opaque_alpha`` is explicit opt-in (matching ``ModelUpscaler``): callers
+    that know the alpha channel is constant 255 pass True to skip the alpha
+    FMA lanes. No host scan / jit-key churn for alternating streams.
 
     Layouts:
       ``"hwc"``    uint8 [H*S, W*S, C] (XLA bitcast+transpose epilogue — a
@@ -420,7 +413,7 @@ def adaptive_resize_pallas(img_u8, scale: int, a: float = -0.5, *,
     """
     if float(scale) != int(scale) or scale < 1:
         raise ValueError("adaptive pallas path requires an integer upscale")
-    opaque_alpha = _detect_opaque_alpha(img_u8, opaque_alpha)
+    opaque_alpha = bool(opaque_alpha)
     img = jnp.asarray(img_u8)
     if img.dtype != jnp.uint8 or img.ndim != 3:
         raise ValueError("adaptive_resize_pallas expects HWC uint8")

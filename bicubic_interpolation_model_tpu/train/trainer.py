@@ -162,6 +162,21 @@ class WeightPredictorTrainer:
         cfg = self.cfg
         s = cfg.scale
         nb = max(1, cfg.image_batch)
+        if nb == 1:
+            # one image per step: keep insertion order so per-image Adam
+            # updates land in the same sequence as the reference's loop
+            # (reference train.js:174-207); bucketing would reorder them
+            # and change the training trajectory.
+            for sid, d in data.items():
+                h, w = d["X"].shape[:2]
+                hb, wb = _bucket(h, cfg.bucket), _bucket(w, cfg.bucket)
+                m = np.zeros((hb * s, wb * s, 1), np.float32)
+                m[:h * s, :w * s] = 1.0
+                yield (_pad_to(d["X"], hb, wb)[None],
+                       _pad_to(d["offset"], hb * s, wb * s)[None],
+                       _pad_to(d["Y"], hb * s, wb * s)[None],
+                       m[None])
+            return
         # group by bucketed LR shape so grouped images share one padded
         # geometry (and therefore one compiled program)
         groups: dict[tuple[int, int], list] = {}

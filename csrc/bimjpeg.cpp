@@ -100,9 +100,10 @@ struct BitReader {
     bits = 0;
     nbits = 0;
     saw_marker = false;
-    // skip fill bytes then the 2-byte marker
-    while (p < end && *p == 0xFF && p + 1 < end &&
-           (p[1] >= 0xD0 && p[1] <= 0xD7)) {
+    // skip 0xFF fill bytes (T.81 B.1.1.2 allows any number before a marker)
+    while (p + 1 < end && *p == 0xFF && p[1] == 0xFF) ++p;
+    // then consume the 2-byte RSTn marker if present
+    if (p + 1 < end && *p == 0xFF && p[1] >= 0xD0 && p[1] <= 0xD7) {
       p += 2;
       return;
     }
@@ -336,6 +337,12 @@ int Decoder::decode(uint8_t** out, uint32_t* w, uint32_t* h) {
           if (comp[i].h > hmax) hmax = comp[i].h;
           if (comp[i].v > vmax) vmax = comp[i].v;
         }
+        // Luma must carry the max sampling factors: the color-convert loop
+        // indexes Y.plane at full resolution (ys = Y.bw*8 covers the image
+        // only when comp[0] is the densest plane). Anything else (legal per
+        // T.81 but produced by no mainstream encoder) goes to the PIL
+        // fallback rather than reading past the Y plane allocation.
+        if (ncomp == 3 && (comp[0].h != hmax || comp[0].v != vmax)) return -2;
         have_sof = true;
         break;
       }
@@ -391,10 +398,12 @@ int Decoder::decode(uint8_t** out, uint32_t* w, uint32_t* h) {
         for (int i = 0; i < ns; ++i) {
           int cid = q[1 + 2 * i];
           int tt = q[2 + 2 * i];
+          int td = tt >> 4, ta = tt & 15;
+          if (td > 3 || ta > 3) return -1;  // hdc[4]/hac[4] bounds
           for (int j = 0; j < ncomp; ++j)
             if (comp[j].id == cid) {
-              comp[j].td = tt >> 4;
-              comp[j].ta = tt & 15;
+              comp[j].td = td;
+              comp[j].ta = ta;
             }
         }
         for (int i = 0; i < ncomp; ++i)

@@ -247,15 +247,26 @@ def main():
         wp_dirs[d.name] = str(d)
     if not want("learned"):
         wp_dirs = {}
+    if wp_dirs:
+        from bicubic_interpolation_model_tpu.bench.suite import (
+            bench_program_output)
     for name, d in wp_dirs.items():
         model, params = _load_model_any(d)
-        per = chained_bench(
-            lambda x: super_resolve(model, params, x, SCALE, "train"),
-            lr_u8)
+        fn = lambda x: super_resolve(model, params, x, SCALE, "train")
+        per = chained_bench(fn, lr_u8)
+        # BOTH timing boundaries are published (round-3 weak #2): chained
+        # strided-checksum (what a fused pipeline consumer pays) and
+        # program-output (full u8 HWC frame materialized per dispatch —
+        # the serving boundary). The gap between them is delivery, not
+        # compute.
+        po = bench_program_output(fn, lr_u8)
         ref = REFERENCE_MS["model_1e-3-30"]
         out[name] = {"ms_per_frame": per * 1e3,
+                     "program_output_ms": po * 1e3,
                      "gpix_per_s": out_pix_0020 / per / 1e9,
                      "reference_ms": ref, "speedup": ref / (per * 1e3),
+                     "impl": "packed forward, fused Pallas tail on TPU "
+                             "(bf16 model stages)",
                      "note": "phase-packed predict+apply, one jit program"}
         print(name, out[name])
 
@@ -277,10 +288,14 @@ def main():
         template = model.init(jax.random.key(0),
                               np.zeros((1, 8, 8, 3), np.float32))
         params, _ = checkpoint.load(d, template)
-        per = chained_bench(
-            lambda x: _apply_direct(model, params, x[None])[0], lr_f)
+        fn = lambda x: _apply_direct(model, params, x[None])[0]
+        per = chained_bench(fn, lr_f)
+        from bicubic_interpolation_model_tpu.bench.suite import (
+            bench_program_output)
+        po = bench_program_output(fn, lr_f)
         ref = REFERENCE_MS[ref_key]
         out[name] = {"ms_per_frame": per * 1e3,
+                     "program_output_ms": po * 1e3,
                      "gpix_per_s": out_pix_0020 / per / 1e9,
                      "reference_ms": ref, "speedup": ref / (per * 1e3)}
         print(name, out[name])

@@ -8,9 +8,9 @@ the 0020 geometry). Measures, with the chained-K methodology:
   tail_xla / tail_pallas   — the tail alone on a fixed merged map
   f32 variants             — the same without bf16 model stages
 
-Run on the TPU from /root/repo. Appends a summary row to
-results/method_throughput.json is NOT done here — this is a lab, the
-throughput refresh (scripts/method_throughput.py --only learned) publishes.
+Run on the TPU from /root/repo. Writes the stage table to
+results/packed_tail_lab.json; the headline learned row is published by
+scripts/method_throughput.py --only learned.
 """
 
 import pathlib
@@ -68,13 +68,24 @@ def main():
     on_tpu = jax.default_backend() == "tpu"
     print(f"backend={jax.default_backend()}  geometry {LR_H}x{LR_W}->4x")
 
+    from bicubic_interpolation_model_tpu.bench.suite import (
+        bench_program_output)
+
     rows = {}
     for dname, dt in (("bf16", jnp.bfloat16), ("f32", jnp.float32)):
         for tail in ("xla", "pallas"):
-            per = chained(lambda x, dt=dt, tail=tail: inf._super_resolve_packed(
-                params, x, 4, "train", dtype=dt, tail=tail), lr)
+            fn = lambda x, dt=dt, tail=tail: inf._super_resolve_packed(
+                params, x, 4, "train", dtype=dt, tail=tail)
+            per = chained(fn, lr)
             rows[f"full_{tail}_{dname}"] = per * 1e3
-            print(f"full_{tail}_{dname}: {per * 1e3:.2f} ms")
+            # the honest serving-boundary number: whole u8 HWC output
+            # materialized per program (round-3 weak #2 — the 9.96 ms
+            # chained vs 15.5 ms program-output discrepancy is settled by
+            # publishing BOTH under their method names)
+            po = bench_program_output(fn, lr)
+            rows[f"full_{tail}_{dname}_program_output"] = po * 1e3
+            print(f"full_{tail}_{dname}: {per * 1e3:.2f} ms chained / "
+                  f"{po * 1e3:.2f} ms program-output")
 
     # upstream only: everything that produces the merged map
     def upstream(lr_u8, dt):
@@ -97,13 +108,50 @@ def main():
     # XLA elide all unsampled phase columns (PERF_NOTES "checksum
     # fusion"), so this row is program-output timed (includes ~one
     # dispatch of overhead; it exists to apportion, not to publish)
-    from bicubic_interpolation_model_tpu.bench.suite import (
-        bench_program_output)
     for dname, dt in (("bf16", jnp.bfloat16), ("f32", jnp.float32)):
         per = bench_program_output(
             lambda x, dt=dt: upstream(x, dt), lr)
         rows[f"upstream_{dname}"] = per * 1e3
         print(f"upstream_{dname}: {per * 1e3:.2f} ms")
+
+    # upstream stage attribution (round-4: with the fused tail landed the
+    # upstream IS the floor — find out which stage): each prefix is
+    # program-output timed; consecutive deltas apportion. Outputs grow
+    # along the chain (y 23 MB bf16 → upa 91 MB → merged 181 MB), so each
+    # delta includes its extra output materialization (~0.1-0.25 ms).
+    def prefix(lr_u8, dt, upto):
+        pc, _ = inf._cast_compute(p, jnp.zeros((), jnp.float32), dt)
+        xf = ((lr_u8.astype(jnp.float32) / 255.0).astype(dt))[None]
+
+        def conv(x, kp):
+            return jax.lax.conv_general_dilated(
+                x, kp["kernel"], (1, 1), "SAME",
+                dimension_numbers=("NHWC", "HWIO", "NHWC")) + kp["bias"]
+
+        y = jax.nn.relu(conv(xf, pc["conv_in"]))
+        if upto == "conv_in":
+            return y
+        y = y + conv(y, pc["conv_res"])
+        if upto == "convs":
+            return y
+        up = jnp.einsum("byxi,pqoi->byxpqo", y,
+                        pc["upsample"]["kernel"]) + pc["upsample"]["bias"]
+        if upto == "upsample":
+            return up
+        att = jax.nn.sigmoid(
+            jnp.einsum("byxpqo,oa->byxpqa", up,
+                       pc["conv_att"]["kernel"][0, 0])
+            + pc["conv_att"]["bias"])
+        if upto == "att":
+            return up * att
+        raise ValueError(upto)
+
+    for dname, dt in (("bf16", jnp.bfloat16),):
+        for upto in ("conv_in", "convs", "upsample", "att"):
+            per = bench_program_output(
+                lambda x, dt=dt, u=upto: prefix(x, dt, u), lr)
+            rows[f"upstream_to_{upto}_{dname}"] = per * 1e3
+            print(f"upstream_to_{upto}_{dname}: {per * 1e3:.2f} ms")
 
     # tail only, on a fixed merged map
     for dname, dt in (("bf16", jnp.bfloat16), ("f32", jnp.float32)):
@@ -138,6 +186,17 @@ def main():
     print("\nsummary (ms):")
     for k, v in rows.items():
         print(f"  {k:>22}: {v:8.2f}")
+
+    import json
+    res = root / "results"
+    res.mkdir(exist_ok=True)
+    out = {"backend": jax.default_backend(),
+           "geometry": f"{LR_H}x{LR_W}->4x",
+           "checkpoint": "wp-1e-3-120",
+           "unit": "ms_per_frame",
+           "rows": rows}
+    (res / "packed_tail_lab.json").write_text(json.dumps(out, indent=2))
+    print("wrote results/packed_tail_lab.json")
 
 
 if __name__ == "__main__":
