@@ -176,7 +176,11 @@ def bench_program_output(fn, img, ks=(2, 6), reps=3):
     for K in ks:
         @jax.jit
         def prog(img):
-            outs = [fn(img ^ jnp.uint8(k)) for k in range(K)]
+            # per-frame input perturbation so XLA cannot CSE the K frames
+            # (uint8: XOR keeps the value domain; float: add an epsilon)
+            outs = [fn(img ^ jnp.uint8(k)) if img.dtype == jnp.uint8
+                    else fn(img + jnp.asarray(k * 1e-6, img.dtype))
+                    for k in range(K)]
             cks = sum(jnp.sum(o.reshape(-1)[::65537].astype(jnp.int32))
                       for o in outs)
             return outs, cks

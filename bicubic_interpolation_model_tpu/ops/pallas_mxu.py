@@ -123,16 +123,24 @@ def _split_bf16(w: np.ndarray) -> np.ndarray:
 
 
 def _mxu_plan(method, h, w, c, scale, p, q, step_in, wstep, n_i, n_j,
-              a=-0.5, lanczos_a=3):
+              a=-0.5, lanczos_a=3, plans=None):
     """Host-side banded weight build (float64 plans → bf16 hi/lo splits).
 
     Exact clamp semantics for the ACTUAL (h, w) are folded into the weights;
     rows/cols beyond the image carry zero weight, so the same compiled
-    program serves any size within the padded extents (bucketing)."""
+    program serves any size within the padded extents (bucketing).
+
+    ``plans`` overrides the (plan_y, plan_x) pair — the band-sharded path
+    (parallel/spatial) passes per-band row plans whose idx are local to the
+    band's haloed window while keeping the GLOBAL column plan, so the same
+    kernel serves one band of a spatially-sharded frame."""
     kw = ({"a": a} if method == "bicubic"
           else {"a": lanczos_a} if method == "lanczos" else {})
-    plan_y = planlib.plan_axis(method, h, float(scale), **kw)
-    plan_x = planlib.plan_axis(method, w, float(scale), **kw)
+    if plans is not None:
+        plan_y, plan_x = plans
+    else:
+        plan_y = planlib.plan_axis(method, h, float(scale), **kw)
+        plan_x = planlib.plan_axis(method, w, float(scale), **kw)
     left = lanczos_a - 1 if method == "lanczos" else _LEFT_EXTENT[method]
     # slot span: the reach of k = idx + left - base; exceeds plan.taps for
     # nearest (idx = round(ox) spans 2 cells per base cell)
@@ -343,7 +351,11 @@ def resize_mxu(img, scale, method: str = "bicubic", *, a: float = -0.5,
             method, h, w, c, scale, p, q, step_eff, wstep_eff, n_i, n_j,
             a=a, lanczos_a=lanczos_a)
         cached = (jax.device_put(wr_np), jax.device_put(wc_np), offs, g)
-        if weight_cache is not None:
+        # under an outer jit trace device_put yields TRACERS — caching
+        # those would leak them past the trace (UnexpectedTracerError on
+        # the next call); cache only concrete device arrays
+        if weight_cache is not None and not isinstance(cached[0],
+                                                       jax.core.Tracer):
             weight_cache[key] = cached
     wr, wc, offs, g = cached
     left = g["left"]

@@ -266,10 +266,13 @@ def packed_tail_pallas(m, lr_f32, kout, bout, *, scale: int = 4,
                          f"({h + 3}), got {lr_f32.shape[0]}")
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
-    # tile dims: rows are the untiled outer dim, cols are SUBLANES (the
-    # lane dim is the 512-wide packed feature axis) — 8-granular, not 128
+    # tile dims: rows are the untiled outer dim (8-granular: they are the
+    # SUBLANES of the planar-LR and output blocks); wstep is those blocks'
+    # LANE dim, so it must stay 128-granular even for narrow frames —
+    # Mosaic requires the last block dim divisible by 128 unless it equals
+    # the (padded, hence larger) array extent
     step = min(step, _round_up(h, 8))
-    wstep = min(wstep, _round_up(w, 8))
+    wstep = min(wstep, _round_up(w, 128))
     return _packed_tail_dispatch(m.reshape(m.shape[0], w, s, s, twof),
                                  lr_f32, kout, bout, s, step, wstep,
                                  bool(interpret), layout,
