@@ -27,6 +27,33 @@ from .harness import performance_test
 
 REFERENCE_BICUBIC_GPIX_S = 0.39e-3  # 2.84 MPix in ~7.3 s (BASELINE.md)
 
+# The TPU tunnel's dispatch+readback jitter is tens of ms between repeats,
+# so a slope between two K values is only trustworthy once the K-delta's
+# worth of device work comfortably exceeds it (round-3's fixed K=3..15
+# produced negative slopes — clamped to 1e-9 s — for every sub-ms kernel:
+# the "262144 GPix/s" rows in the first round-4 refresh).
+SLOPE_MIN_DELTA_S = 0.25
+
+
+def chained_slope(timed, k_lo, k_hi, min_delta=SLOPE_MIN_DELTA_S,
+                  k_max=200_000):
+    """Per-iteration seconds from the slope between two chained-K timings.
+
+    ``timed(k)`` must return best-of-reps wall seconds for K chained
+    iterations inside ONE jit program (K dynamic — no recompile as it
+    grows). k_hi is grown geometrically until the measured delta clears
+    ``min_delta`` of real device work, so tunnel jitter (which round 3's
+    fixed-K slopes drowned in) stays a small relative error."""
+    t_lo = timed(k_lo)
+    while True:
+        t_hi = timed(k_hi)
+        if t_hi - t_lo >= min_delta or k_hi >= k_max:
+            break
+        grow = 4 if t_hi - t_lo <= 0 else min(
+            8.0, max(2.0, min_delta / max(t_hi - t_lo, 1e-9)))
+        k_hi = min(k_max, int(k_hi * grow) + 1)
+    return max((t_hi - t_lo) / (k_hi - k_lo), 1e-9)
+
 
 def _make_input(h, w, c=4, seed=0):
     rng = np.random.default_rng(seed)
@@ -153,8 +180,7 @@ def bench_resize_ondevice(h, w, scale, method="bicubic", impl="pallas",
             best = min(best, time.perf_counter() - t0)
         return best
 
-    t_lo, t_hi = timed(k_lo), timed(k_hi)
-    per_frame = max((t_hi - t_lo) / (k_hi - k_lo), 1e-9)
+    per_frame = chained_slope(timed, k_lo, k_hi)
     out_pix = int(h * scale) * int(w * scale)
     return {
         "impl": impl, "method": method,
@@ -165,37 +191,64 @@ def bench_resize_ondevice(h, w, scale, method="bicubic", impl="pallas",
     }
 
 
-def bench_program_output(fn, img, ks=(2, 6), reps=3):
+def bench_program_output(fn, img, ks=(2, 6), reps=3,
+                         min_delta=SLOPE_MIN_DELTA_S):
     """Per-frame seconds when every frame is a DEFAULT-LAYOUT jit program
     output — the cost a serving boundary actually pays (output buffers must
     be materialized in default layout; nothing can be fusion-elided). A
     fetched scalar checksum forces completion across the async TPU tunnel,
     where block_until_ready returns early. Used to validate the chained-K
-    strided-checksum numbers (see `chained` in bench_resize_ondevice)."""
-    res = {}
+    strided-checksum numbers (see `chained` in bench_resize_ondevice).
+
+    Fast kernels can't stretch the unrolled program (compile time), so the
+    K-programs are instead dispatched R times back-to-back — async dispatch
+    queues them on-device; one final checksum fetch blocks — and R grows
+    until the k_hi−k_lo work delta clears the tunnel-jitter floor."""
+    progs = {}
     for K in ks:
         @jax.jit
-        def prog(img):
-            # per-frame input perturbation so XLA cannot CSE the K frames
+        def prog(img, r, K=K):
+            # per-(frame, round) input perturbation so XLA cannot CSE the
+            # K frames and the device can't cache across the R rounds
             # (uint8: XOR keeps the value domain; float: add an epsilon)
-            outs = [fn(img ^ jnp.uint8(k)) if img.dtype == jnp.uint8
-                    else fn(img + jnp.asarray(k * 1e-6, img.dtype))
+            outs = [fn(img ^ (jnp.uint8(k) + r.astype(jnp.uint8)))
+                    if img.dtype == jnp.uint8
+                    else fn(img + (k + r).astype(img.dtype) * 1e-6)
                     for k in range(K)]
             cks = sum(jnp.sum(o.reshape(-1)[::65537].astype(jnp.int32))
                       for o in outs)
             return outs, cks
 
-        _, ck = prog(img)
+        outs, ck = prog(img, jnp.uint8(0))
         int(np.asarray(ck))  # compile + settle
+        progs[K] = prog
+        out_bytes = sum(o.nbytes for o in jax.tree_util.tree_leaves(outs))
+
+    # async dispatch keeps up to R rounds of outputs alive on device until
+    # execution drains the queue — bound the worst case to ~2 GB
+    r_cap = max(1, min(4096, int(2e9 / max(out_bytes, 1))))
+
+    def timed(K, R):
         best = np.inf
         for _ in range(reps):
             t0 = time.perf_counter()
-            _, ck = prog(img)
+            ck = None
+            for r in range(R):
+                _, ck = progs[K](img, jnp.uint8(r))
             int(np.asarray(ck))
             best = min(best, time.perf_counter() - t0)
-        res[K] = best
+        return best
+
     k0, k1 = ks
-    return max((res[k1] - res[k0]) / (k1 - k0), 1e-9)
+    R = 1
+    while True:
+        t0, t1 = timed(k0, R), timed(k1, R)
+        if t1 - t0 >= min_delta or R >= r_cap:
+            break
+        grow = 4 if t1 - t0 <= 0 else min(
+            8.0, max(2.0, min_delta / max(t1 - t0, 1e-9)))
+        R = min(r_cap, int(R * grow) + 1)
+    return max((t1 - t0) / ((k1 - k0) * R), 1e-9)
 
 
 def bench_resize(h, w, scale, method="bicubic", impl="auto", c=4,

@@ -193,7 +193,10 @@ def plan_downsample(n_in: int, factor: float, method: str = "cubic",
     if factor < 1:
         raise ValueError("factor must be >= 1 for downsampling")
     n_out = int(n_in // factor) if n_out is None else n_out
-    kern, half = _DOWN_KERNELS[method]
+    # "bicubic" (the upscale-side name everywhere else in the package) is
+    # the same Keys kernel the down table registers as "cubic" (sharp's
+    # name for it, data_generator.js:62-88) — accept both spellings
+    kern, half = _DOWN_KERNELS["cubic" if method == "bicubic" else method]
     support = half * factor
     taps = int(np.ceil(2 * support)) + 1
     center = (np.arange(n_out, dtype=np.float64) + 0.5) * factor - 0.5

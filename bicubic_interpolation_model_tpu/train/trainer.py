@@ -162,6 +162,28 @@ class WeightPredictorTrainer:
         cfg = self.cfg
         s = cfg.scale
         nb = max(1, cfg.image_batch)
+
+        # Y-less datasets (data.onthefly.load_hr_dir): both target maps are
+        # S-periodic in each axis (dx depends only on x mod S; the GT Keys
+        # weights only on the subpixel offset — data_generator.js:125-179),
+        # so one synthesized map per PADDED bucket geometry is exact for
+        # every image in the bucket (pad regions are masked out of the
+        # loss; adaptive modulation happens inside the step from the image)
+        synth_cache: dict[tuple[int, int], tuple] = {}
+
+        def targets(d, hb, wb):
+            if "offset" in d and "Y" in d:
+                return (_pad_to(d["offset"], hb * s, wb * s),
+                        _pad_to(d["Y"], hb * s, wb * s))
+            key = (hb, wb)
+            if key not in synth_cache:
+                from ..ops.learned import gt_weight_map, offset_map
+                off = np.asarray(offset_map(hb * s, wb * s, float(s),
+                                            "train"))
+                y = np.asarray(gt_weight_map(hb * s, wb * s, float(s)))
+                synth_cache[key] = (off, y)
+            return synth_cache[key]
+
         if nb == 1:
             # one image per step: keep insertion order so per-image Adam
             # updates land in the same sequence as the reference's loop
@@ -172,9 +194,8 @@ class WeightPredictorTrainer:
                 hb, wb = _bucket(h, cfg.bucket), _bucket(w, cfg.bucket)
                 m = np.zeros((hb * s, wb * s, 1), np.float32)
                 m[:h * s, :w * s] = 1.0
-                yield (_pad_to(d["X"], hb, wb)[None],
-                       _pad_to(d["offset"], hb * s, wb * s)[None],
-                       _pad_to(d["Y"], hb * s, wb * s)[None],
+                off, y = targets(d, hb, wb)
+                yield (_pad_to(d["X"], hb, wb)[None], off[None], y[None],
                        m[None])
             return
         # group by bucketed LR shape so grouped images share one padded
@@ -197,8 +218,9 @@ class WeightPredictorTrainer:
                 for d in chunk:
                     h, w = d["X"].shape[:2]
                     imgs.append(_pad_to(d["X"], hb, wb))
-                    offs.append(_pad_to(d["offset"], hb * s, wb * s))
-                    ys.append(_pad_to(d["Y"], hb * s, wb * s))
+                    off, y = targets(d, hb, wb)
+                    offs.append(off)
+                    ys.append(y)
                     m = np.zeros((hb * s, wb * s, 1), np.float32)
                     m[:h * s, :w * s] = 1.0
                     masks.append(m)

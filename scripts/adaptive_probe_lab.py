@@ -198,7 +198,8 @@ def main():
                 float(np.asarray(ch(img, k)))
                 best = min(best, time.perf_counter() - t0)
             return best
-        return max((timed(k_hi) - timed(k_lo)) / (k_hi - k_lo), 1e-9)
+        from bicubic_interpolation_model_tpu.bench.suite import chained_slope
+        return chained_slope(timed, k_lo, k_hi)
 
     rng = np.random.default_rng(0)
     img = jax.device_put(rng.integers(0, 256, (H, W, C), np.uint8))

@@ -28,7 +28,7 @@ def main():
     import jax.numpy as jnp
 
     from bicubic_interpolation_model_tpu.bench.suite import (
-        bench_resize_ondevice, check_parity)
+        bench_resize_ondevice, chained_slope, check_parity)
     from bicubic_interpolation_model_tpu.ops.pallas_phase import (
         resize_phase_pallas)
 
@@ -90,7 +90,7 @@ def main():
                 best = min(best, time.perf_counter() - t0)
             return best
 
-        per_frame = (timed_mb(40) - timed_mb(4)) / 36 / 8
+        per_frame = chained_slope(timed_mb, 4, 40) / 8
         out_pix = 512 * 512
         out["configs"]["c1_256_gray_2x_microbatch8"] = {
             "ms_per_frame": per_frame * 1e3,
@@ -129,7 +129,7 @@ def main():
             best = min(best, time.perf_counter() - t0)
         return best
 
-    per_batch = (timed(20) - timed(2)) / 18
+    per_batch = chained_slope(timed, 2, 20)
     total_out_pix = 22 * (512 * 512) + 21 * (768 * 768) + 21 * (1024 * 1024)
     out["configs"]["c3_batch64_mixed"] = {
         "seconds": per_batch,
@@ -187,7 +187,7 @@ def main():
             best = min(best, time.perf_counter() - t0)
         return best
 
-    per_frame = (timed6(48) - timed6(4)) / 44
+    per_frame = chained_slope(timed6, 4, 48)
     avg_out_pix = np.mean([h * s * w * s for h, w in sizes])
     out["configs"]["c6_mixed_size_stream"] = {
         "sizes": [f"{h}x{w}" for h, w in sizes],

@@ -35,6 +35,8 @@ def chained_bench(fn, img, k_lo=3, k_hi=15, reps=2):
     import jax
     import jax.numpy as jnp
 
+    from bicubic_interpolation_model_tpu.bench.suite import chained_slope
+
     @jax.jit
     def chained(img, k):
         def body(i, acc):
@@ -57,8 +59,7 @@ def chained_bench(fn, img, k_lo=3, k_hi=15, reps=2):
             float(np.asarray(chained(img, k)))
             best = min(best, time.perf_counter() - t0)
         return best
-    t_lo, t_hi = timed(k_lo), timed(k_hi)
-    return max((t_hi - t_lo) / (k_hi - k_lo), 1e-9)
+    return chained_slope(timed, k_lo, k_hi)
 
 
 def main():
@@ -365,7 +366,9 @@ def main():
                     best = min(best, time.perf_counter() - t0)
                 return best
 
-            per = max((timed(12) - timed(2)) / 10, 1e-9)
+            from bicubic_interpolation_model_tpu.bench.suite import (
+                chained_slope)
+            per = chained_slope(timed, 2, 12)
             row = {"ms_per_step": per * 1e3,
                    "images_per_s": img.shape[0] / per,
                    "lr_mpix_per_s": img.shape[0] * img.shape[1]

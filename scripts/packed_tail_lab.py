@@ -47,7 +47,8 @@ def chained(fn, x, k_lo=3, k_hi=15, reps=3):
             best = min(best, time.perf_counter() - t0)
         return best
 
-    return max((timed(k_hi) - timed(k_lo)) / (k_hi - k_lo), 1e-9)
+    from bicubic_interpolation_model_tpu.bench.suite import chained_slope
+    return chained_slope(timed, k_lo, k_hi)
 
 
 def main():

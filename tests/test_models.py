@@ -167,6 +167,43 @@ def test_image_mode_batching(rng):
     cfg1 = TrainConfig(mode="image", bucket=16, epochs=1, log_every=1000)
     tr1 = WeightPredictorTrainer(WeightPredictor(scale=4), cfg1)
     assert all(b[0].shape[0] == 1 for b in tr1._image_batches(data))
+    # ... and keeps the dataset's insertion order (no bucket reordering)
+    hs = [b[0].shape[1] for b in tr1._image_batches(data)]
+    assert hs == [16, 16, 16, 32]
+
+
+def test_image_mode_synthesizes_targets(rng):
+    """Y-less datasets (data.onthefly.load_hr_dir) work in IMAGE mode too:
+    both target maps are S-periodic per axis, so one synthesized map per
+    padded bucket geometry is exact — must match the stored-target batches
+    bit for bit."""
+    from bicubic_interpolation_model_tpu.ops.learned import (
+        gt_weight_map, offset_map)
+    from bicubic_interpolation_model_tpu.train.trainer import (
+        TrainConfig, WeightPredictorTrainer)
+    from bicubic_interpolation_model_tpu.models.weight_predictor import (
+        WeightPredictor)
+    imgs = {str(i): random_image(rng, h, w).astype(np.float32) / 255.0
+            for i, (h, w) in enumerate([(12, 12), (10, 11), (20, 12)])}
+    yless = {k: {"X": v} for k, v in imgs.items()}
+    stored = {k: {"X": v,
+                  "offset": np.asarray(offset_map(
+                      v.shape[0] * 4, v.shape[1] * 4, 4.0, "train")),
+                  "Y": np.asarray(gt_weight_map(
+                      v.shape[0] * 4, v.shape[1] * 4, 4.0, "train"))}
+              for k, v in imgs.items()}
+    for nb in (1, 2):
+        cfg = TrainConfig(mode="image", bucket=16, image_batch=nb, epochs=1,
+                          log_every=1000)
+        tr = WeightPredictorTrainer(WeightPredictor(scale=4), cfg)
+        for (ba, bb) in zip(tr._image_batches(yless),
+                            tr._image_batches(stored)):
+            mask = np.asarray(bb[3])            # zero over pad regions,
+            np.testing.assert_array_equal(ba[0], bb[0])   # which the loss
+            np.testing.assert_array_equal(ba[3], bb[3])   # masks out
+            for xa, xb in zip(ba[1:3], bb[1:3]):
+                np.testing.assert_array_equal(np.asarray(xa) * mask,
+                                              np.asarray(xb) * mask)
 
 
 def test_checkpoint_roundtrip(tmp_path):
