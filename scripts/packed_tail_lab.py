@@ -51,6 +51,132 @@ def chained(fn, x, k_lo=3, k_hi=15, reps=3):
     return chained_slope(timed, k_lo, k_hi)
 
 
+def _probe_tail(pt, m, lr_f32, kout, bout, *, mode, interpret,
+                step=16, wstep=128):
+    """The packed-tail kernel with stages disabled back to front — same
+    grid, block specs, pads and matmul structure as the shipped kernel
+    (ops/pallas_packed_tail._tail_kernel), so consecutive deltas apportion
+    honestly. mode: matmul < tanh < relayout < apply < full (cumulative)."""
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    if mode == "full":
+        return pt.packed_tail_pallas(m, lr_f32, kout, bout, scale=4,
+                                     step=step, wstep=wstep,
+                                     interpret=interpret)
+    s = 4
+    c = lr_f32.shape[-1]
+    twof = m.shape[-1]
+    h, w = m.shape[0], m.shape[1]
+
+    def kernel(kb_ref, bias_ref, ma, mb, mc, md, la, lb, lc, ld_, out_ref):
+        kdim, ndim = s * twof, s * 16
+        top = jnp.concatenate([ma[...], mb[..., :2, :]], axis=1)
+        bot = jnp.concatenate([mc[:2], md[:2, :2, :]], axis=1)
+        win = jnp.concatenate([top, bot], axis=0)
+        base = win[:, 1:1 + wstep]
+        lane = jax.lax.broadcasted_iota(jnp.int32, base.shape, 2) % kdim
+        win_dx = {0: base,
+                  1: jnp.where(lane < twof, win[:, 2:2 + wstep], base),
+                  -1: jnp.where(lane >= kdim - twof, win[:, :wstep], base)}
+        ltop = jnp.concatenate([la[...], lb[..., :3]], axis=2)
+        lbot = jnp.concatenate([lc[:, :3], ld_[:, :3, :3]], axis=2)
+        lwin = jnp.concatenate([ltop, lbot], axis=1)
+        taps = [[lwin[ch, ty:ty + step, tx:tx + wstep] for ty in range(4)
+                 for tx in range(4)] for ch in range(c)]
+        bias = bias_ref[0]
+        planes = []
+        for pp in range(s):
+            acc = None
+            for dy in (-1, 0, 1):
+                p2, sy = (pp + dy) % s, (pp + dy) // s
+                for dx in (-1, 0, 1):
+                    k = ((dy + 1) * 3 + dx + 1) * kdim
+                    a = win_dx[dx][1 + sy:1 + sy + step, :,
+                                   p2 * kdim:(p2 + 1) * kdim]
+                    a2 = a.reshape(step * wstep, kdim)
+                    t = jax.lax.dot(a2, kb_ref[k:k + kdim, :],
+                                    precision=None,
+                                    preferred_element_type=jnp.float32)
+                    acc = t if acc is None else acc + t
+            if mode == "matmul":
+                wts = (acc + bias).astype(jnp.float32)
+            else:
+                wts = jnp.tanh((acc + bias).astype(jnp.float32))
+            if mode in ("matmul", "tanh"):
+                # no relayout: lane-reduce + reshape (both layout-natural)
+                csum = wts.sum(axis=1).reshape(step, wstep)
+                planes.append([csum] * s)
+                continue
+            wp = jnp.transpose(wts).reshape(ndim, step, wstep)
+            if mode == "relayout":
+                row = []
+                for q in range(s):
+                    g = None
+                    for i in range(16):
+                        v = wp[q * 16 + i]
+                        g = v if g is None else g + v
+                    row.append(g)
+                planes.append(row)
+                continue
+            row = []                                     # mode == "apply"
+            for q in range(s):
+                accs = [None] * c
+                for i in range(16):
+                    wplane = wp[q * 16 + i]
+                    for ch in range(c):
+                        t = wplane * taps[ch][i]
+                        accs[ch] = t if accs[ch] is None else accs[ch] + t
+                row.append(jnp.clip(jnp.round(accs[0]).astype(jnp.int32),
+                                    0, 255).astype(jnp.float32))
+            planes.append(row)
+        for q in range(s):
+            out_ref[q] = jnp.stack(
+                [planes[pp][q] for pp in range(s)],
+                axis=1).reshape(step * s, wstep).astype(jnp.uint32)
+
+    mf = m.reshape(h, w, s * s * twof)
+    n_i = pt._round_up(h, step) // step
+    n_j = pt._round_up(w, wstep) // wstep
+    mp = jnp.pad(mf, ((1, (n_i + 1) * step - h - 1),
+                      (1, (n_j + 1) * wstep - w - 1), (0, 0)))
+    lp = jnp.pad(jnp.transpose(lr_f32, (2, 0, 1)),
+                 ((0, 0), (1, (n_i + 1) * step - lr_f32.shape[0] - 1),
+                  (1, (n_j + 1) * wstep - w - 1)), mode="edge")
+    kb = pt._block_kernels(kout, s, twof).astype(m.dtype)
+    bias = jnp.tile(bout.astype(jnp.float32), (s,))[None]
+    feat = s * s * twof
+    m_spec = lambda di, dj: pl.BlockSpec(
+        (step, wstep, feat), lambda i, j, di=di, dj=dj: (i + di, j + dj, 0),
+        memory_space=pltpu.VMEM)
+    l_spec = lambda di, dj: pl.BlockSpec(
+        (c, step, wstep), lambda i, j, di=di, dj=dj: (0, i + di, j + dj),
+        memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kernel,
+        grid=(n_i, n_j),
+        in_specs=[
+            pl.BlockSpec((9 * s * twof, s * 16), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, s * 16), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            m_spec(0, 0), m_spec(0, 1), m_spec(1, 0), m_spec(1, 1),
+            l_spec(0, 0), l_spec(0, 1), l_spec(1, 0), l_spec(1, 1),
+        ],
+        out_specs=pl.BlockSpec((s, step * s, wstep), lambda i, j: (0, i, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct(
+            (s, n_i * step * s, n_j * wstep), jnp.uint32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=96 * 1024 * 1024),
+        interpret=interpret,
+    )(kb, bias, mp, mp, mp, mp, lp, lp, lp, lp)
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -184,8 +310,45 @@ def main():
         rows[f"tail_xla_{dname}"] = per * 1e3
         print(f"tail_xla_{dname}: {per * 1e3:.2f} ms")
 
+    # ---- kernel anatomy (round 4): tile-shape sweep + stripped probe ----
+    # tail_pallas_bf16 ≈ tail_pallas_f32 already says the MXU dots are not
+    # the bound; what remains is VPU/layout work (tanh, the per-phase
+    # [M, 64] -> [64, step, wstep] relayout, 256 apply FMAs, u32 pack).
+    # The sweep finds the best tiling; the stripped probe (same tiling and
+    # block specs, stages disabled back to front) apportions the cost.
+    pc, _ = inf._cast_compute(p, jnp.zeros((), jnp.float32), jnp.bfloat16)
+    m = jax.block_until_ready(
+        jax.jit(lambda x: upstream(x, jnp.bfloat16))(lr))
+    lrf = lr.astype(jnp.float32)
+    kout = jnp.asarray(pc["conv_out"]["kernel"])
+    bout = jnp.asarray(pc["conv_out"]["bias"])
+    sweep = {}
+    for tstep, twstep in ((8, 128), (16, 128), (32, 128), (8, 256),
+                          (16, 256), (32, 256), (8, 512), (16, 512)):
+        try:
+            per = chained(lambda mm, a=tstep, b=twstep: packed_tail_pallas(
+                mm[0], lrf, kout, bout, scale=4, step=a, wstep=b,
+                interpret=not on_tpu), m)
+            sweep[f"step{tstep}_wstep{twstep}"] = per * 1e3
+            print(f"tail_pallas_bf16 step{tstep} wstep{twstep}: "
+                  f"{per * 1e3:.2f} ms", flush=True)
+        except Exception as e:
+            sweep[f"step{tstep}_wstep{twstep}"] = f"{type(e).__name__}"
+            print(f"tail step{tstep} wstep{twstep}: {type(e).__name__}: "
+                  f"{e}", flush=True)
+    rows["tail_tile_sweep"] = sweep
+
+    from bicubic_interpolation_model_tpu.ops import pallas_packed_tail as pt
+    for mode in ("matmul", "tanh", "relayout", "apply", "full"):
+        per = chained(lambda mm, md=mode: _probe_tail(
+            pt, mm[0], lrf, kout, bout, mode=md, interpret=not on_tpu), m)
+        rows[f"tail_probe_{mode}"] = per * 1e3
+        print(f"tail_probe_{mode}: {per * 1e3:.2f} ms", flush=True)
+
     print("\nsummary (ms):")
     for k, v in rows.items():
+        if isinstance(v, dict):
+            continue
         print(f"  {k:>22}: {v:8.2f}")
 
     import json
