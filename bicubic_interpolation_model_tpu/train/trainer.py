@@ -41,10 +41,15 @@ class TrainConfig:
     seed: int = 0
     log_every: int = 10
     adaptive_targets: bool = False  # v4.0-style luma-modulated GT weights
+    # rematerialize the forward in the backward pass (jax.checkpoint):
+    # whole-image batches at DIV2K geometry keep ~1 GB of SR-resolution
+    # activations per image alive for the backward — image_batch=4 at the
+    # 384x512 bucket exceeds one chip's 15.75 GB HBM without this
+    remat: bool = False
 
 
 def make_weight_predictor_step(model, optimizer, *, adaptive: bool = False,
-                               scale: int = 4):
+                               scale: int = 4, remat: bool = False):
     """Step for (img, off, y_true) → weight-map MSE (+ MAE metric).
 
     With ``adaptive`` the GT target is modulated *on device inside the step*
@@ -64,8 +69,11 @@ def make_weight_predictor_step(model, optimizer, *, adaptive: bool = False,
         s = w.sum(axis=-1, keepdims=True)
         return jnp.where(s > 0, w / s, 0.0)
 
+    apply = (jax.checkpoint(model.apply, static_argnums=())
+             if remat else model.apply)
+
     def loss_fn(params, img, off, y, mask):
-        pred = model.apply(params, img, off)
+        pred = apply(params, img, off)
         err = (pred - targets(img, y)) * mask
         denom = jnp.maximum(mask.sum() * y.shape[-1], 1.0)
         mse = jnp.sum(err * err) / denom
@@ -122,7 +130,8 @@ class WeightPredictorTrainer:
         self.optimizer = optax.adam(self.cfg.learning_rate)
         self.step_fn = make_weight_predictor_step(
             self.model, self.optimizer,
-            adaptive=self.cfg.adaptive_targets, scale=self.cfg.scale)
+            adaptive=self.cfg.adaptive_targets, scale=self.cfg.scale,
+            remat=self.cfg.remat)
         self.history: list[dict] = []
 
     def init_params(self, rng_key=None):

@@ -78,9 +78,12 @@ def main():
     run("image_batch1", TrainConfig(learning_rate=1e-3, mode="image",
                                     bucket=64, image_batch=1,
                                     log_every=10 ** 9))
-    run("image_batch4", TrainConfig(learning_rate=1e-3, mode="image",
-                                    bucket=64, image_batch=4,
-                                    log_every=10 ** 9))
+    # remat: 4 DIV2K-size images keep ~1 GB of SR-resolution activations
+    # each alive for the backward — without rematerialization this batch
+    # needs 17.5 GB HBM on a 15.75 GB chip (measured OOM, round 4)
+    run("image_batch4_remat", TrainConfig(learning_rate=1e-3, mode="image",
+                                          bucket=64, image_batch=4,
+                                          remat=True, log_every=10 ** 9))
 
     res = pathlib.Path(__file__).resolve().parents[1] / "results"
     res.mkdir(exist_ok=True)

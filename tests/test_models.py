@@ -128,6 +128,38 @@ def test_trainer_smoke(rng):
     assert losses[-1] < losses[0]
 
 
+def test_remat_step_matches(rng):
+    """remat=True (jax.checkpoint over the forward, for whole-image batches
+    that exceed HBM) recomputes the same ops in the backward — the update
+    must match the non-remat step bit for bit."""
+    import jax
+    import optax
+
+    from bicubic_interpolation_model_tpu.models.weight_predictor import (
+        WeightPredictor)
+    from bicubic_interpolation_model_tpu.ops.learned import (
+        gt_weight_map, offset_map)
+    from bicubic_interpolation_model_tpu.train.trainer import (
+        make_weight_predictor_step)
+    model = WeightPredictor(scale=4)
+    opt = optax.adam(1e-3)
+    img = (random_image(rng, 12, 12).astype(np.float32) / 255.0)[None]
+    off = np.asarray(offset_map(48, 48, 4.0, "train"))[None]
+    y = np.asarray(gt_weight_map(48, 48, 4.0, "train"))[None]
+    mask = np.ones((1, 48, 48, 1), np.float32)
+    params = model.init(jax.random.key(0), img, off)
+    outs = []
+    for remat in (False, True):
+        step = make_weight_predictor_step(model, opt, remat=remat)
+        p2, _, loss, mae = step(params, opt.init(params), img, off, y, mask)
+        outs.append((np.asarray(loss), np.asarray(mae),
+                     jax.tree_util.tree_leaves(p2)))
+    np.testing.assert_array_equal(outs[0][0], outs[1][0])
+    np.testing.assert_array_equal(outs[0][1], outs[1][1])
+    for a, b in zip(outs[0][2], outs[1][2]):
+        np.testing.assert_array_equal(a, b)
+
+
 def test_image_mode_batching(rng):
     """Image mode groups SAME-BUCKET images into one padded batch
     (image_batch>1, PERF_NOTES round 3e); ragged tails pad with a zero-mask
