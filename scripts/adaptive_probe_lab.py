@@ -232,9 +232,20 @@ def main():
     root = pathlib.Path(__file__).resolve().parents[1]
     res = root / "results"
     res.mkdir(exist_ok=True)
+    import datetime
+    import subprocess
+    commit = subprocess.run(["git", "rev-parse", "--short", "HEAD"],
+                            cwd=root, capture_output=True,
+                            text=True).stdout.strip()
     out = {"backend": jax.default_backend(),
            "geometry": "1080p->4x planar", "unit": "ms_per_frame",
-           "tile": f"step{STEP}_wstep{WSTEP}", "rows": rows}
+           "tile": f"step{STEP}_wstep{WSTEP}", "rows": rows,
+           "_provenance": {"backend": jax.default_backend(),
+                           "device": str(jax.devices()[0]),
+                           "jax": jax.__version__, "commit": commit,
+                           "date": datetime.datetime.now(
+                               datetime.timezone.utc)
+                           .strftime("%Y-%m-%dT%H:%M:%SZ")}}
     (res / "adaptive_probe.json").write_text(json.dumps(out, indent=2))
     print("wrote results/adaptive_probe.json")
 
