@@ -192,7 +192,29 @@ def bench_resize_ondevice(h, w, scale, method="bicubic", impl="pallas",
 
 
 def bench_program_output(fn, img, ks=(2, 6), reps=3,
-                         min_delta=SLOPE_MIN_DELTA_S):
+                         min_delta=SLOPE_MIN_DELTA_S, max_k=64):
+    """See _bench_program_output_once. For very fast fn/img (small frames)
+    the K-spread work delta can sit below the tunnel-jitter floor even at
+    the R cap, degenerating the slope to the 1e-9 clamp (this published
+    a nonsense 262,000 GPix/s row in an early latency_curve.json). When
+    that happens, escalate the K spread (more frames per program, bigger
+    work delta per round) and retry until the delta clears the floor or
+    K reaches max_k; the last (widest-spread) estimate is returned either
+    way, flagged by returning it as-is (callers that must distinguish can
+    compare against 1e-9)."""
+    k0, k1 = ks
+    budget_s = 120.0
+    t_start = time.perf_counter()
+    while True:
+        per, cleared = _bench_program_output_once(
+            fn, img, (k0, k1), reps, min_delta)
+        if (cleared or k1 >= max_k
+                or time.perf_counter() - t_start > budget_s):
+            return per
+        k1 = min(max_k, k1 + 2 * (k1 - k0))
+
+
+def _bench_program_output_once(fn, img, ks, reps, min_delta):
     """Per-frame seconds when every frame is a DEFAULT-LAYOUT jit program
     output — the cost a serving boundary actually pays (output buffers must
     be materialized in default layout; nothing can be fusion-elided). A
@@ -234,7 +256,9 @@ def bench_program_output(fn, img, ks=(2, 6), reps=3,
             t0 = time.perf_counter()
             ck = None
             for r in range(R):
-                _, ck = progs[K](img, jnp.uint8(r))
+                # wrap: the perturbation only needs per-round variety, and
+                # jnp.uint8(r) raises OverflowError once R grows past 255
+                _, ck = progs[K](img, jnp.uint8(r & 0xFF))
             int(np.asarray(ck))
             best = min(best, time.perf_counter() - t0)
         return best
@@ -248,7 +272,8 @@ def bench_program_output(fn, img, ks=(2, 6), reps=3,
         grow = 4 if t1 - t0 <= 0 else min(
             8.0, max(2.0, min_delta / max(t1 - t0, 1e-9)))
         R = min(r_cap, int(R * grow) + 1)
-    return max((t1 - t0) / ((k1 - k0) * R), 1e-9)
+    per = max((t1 - t0) / ((k1 - k0) * R), 1e-9)
+    return per, (t1 - t0) >= min_delta
 
 
 def bench_resize(h, w, scale, method="bicubic", impl="auto", c=4,
