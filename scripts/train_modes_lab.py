@@ -72,23 +72,40 @@ def main():
         out[label] = row
         print(label, json.dumps(row), flush=True)
 
-    run("patch_16x48", TrainConfig(learning_rate=1e-3, mode="patch",
-                                   patch_lr=48, batch_size=16,
-                                   log_every=10 ** 9))
-    run("image_batch1", TrainConfig(learning_rate=1e-3, mode="image",
-                                    bucket=64, image_batch=1,
-                                    log_every=10 ** 9))
-    # remat: 4 DIV2K-size images keep ~1 GB of SR-resolution activations
-    # each alive for the backward — without rematerialization this batch
-    # needs 17.5 GB HBM on a 15.75 GB chip (measured OOM, round 4)
-    run("image_batch4_remat", TrainConfig(learning_rate=1e-3, mode="image",
-                                          bucket=64, image_batch=4,
-                                          remat=True, log_every=10 ** 9))
-
     res = pathlib.Path(__file__).resolve().parents[1] / "results"
     res.mkdir(exist_ok=True)
-    (res / "train_modes.json").write_text(json.dumps(out, indent=2))
+    artifact = res / "train_modes.json"
+
+    def flush():
+        # write after EVERY mode: a crash (or a remote-compile 500 from the
+        # tunnel) in a later mode must not discard completed measurements
+        artifact.write_text(json.dumps(out, indent=2))
+
+    failed = []
+    for label, cfg in (
+        ("patch_16x48", TrainConfig(learning_rate=1e-3, mode="patch",
+                                    patch_lr=48, batch_size=16,
+                                    log_every=10 ** 9)),
+        ("image_batch1", TrainConfig(learning_rate=1e-3, mode="image",
+                                     bucket=64, image_batch=1,
+                                     log_every=10 ** 9)),
+        # remat: 4 DIV2K-size images keep ~1 GB of SR-resolution activations
+        # each alive for the backward — without rematerialization this batch
+        # needs 17.5 GB HBM on a 15.75 GB chip (measured OOM, round 4)
+        ("image_batch4_remat", TrainConfig(learning_rate=1e-3, mode="image",
+                                           bucket=64, image_batch=4,
+                                           remat=True, log_every=10 ** 9)),
+    ):
+        try:
+            run(label, cfg)
+        except Exception as exc:  # publish what DID run + the failure
+            out[label] = {"error": f"{type(exc).__name__}: {exc}"[:500]}
+            failed.append(label)
+            print(f"{label} FAILED: {exc}", flush=True)
+        flush()
     print("wrote results/train_modes.json")
+    if failed:
+        raise SystemExit(f"modes failed: {failed}")
 
 
 if __name__ == "__main__":
