@@ -24,6 +24,11 @@ class DirectSRConfig:
     channels: int = 3
     seed: int = 0
     lr_decay: float = 0.97
+    # 8-fold dihedral augmentation (rot90 × flip) of each LR/HR patch pair —
+    # the standard SR lever for small training sets (the reference's 36-image
+    # DIV2K subset); default False so pre-round-4 checkpoints stay
+    # reproducible from their meta.json configs
+    augment: bool = False
 
 
 class DirectSRTrainer:
@@ -53,9 +58,17 @@ class DirectSRTrainer:
             h, w = d["X"].shape[:2]
             y0 = int(rng.integers(h - p + 1))
             x0 = int(rng.integers(w - p + 1))
-            lrs.append(d["X"][y0:y0 + p, x0:x0 + p, :c])
-            hr = d["HR"][y0 * s:(y0 + p) * s, x0 * s:(x0 + p) * s, :c]
-            hrs.append(hr.astype(np.float32) / 255.0)
+            lr = d["X"][y0:y0 + p, x0:x0 + p, :c]
+            hr = (d["HR"][y0 * s:(y0 + p) * s, x0 * s:(x0 + p) * s, :c]
+                  .astype(np.float32) / 255.0)
+            if cfg.augment:
+                k = int(rng.integers(4))
+                if k:
+                    lr, hr = np.rot90(lr, k), np.rot90(hr, k)
+                if rng.integers(2):
+                    lr, hr = lr[:, ::-1], hr[:, ::-1]
+            lrs.append(np.ascontiguousarray(lr))
+            hrs.append(np.ascontiguousarray(hr))
         return np.stack(lrs), np.stack(hrs)
 
     def fit(self, data, params=None, epochs=None, log=print):
