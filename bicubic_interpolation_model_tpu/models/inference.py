@@ -119,12 +119,7 @@ def _super_resolve_packed(params, lr_u8, scale, convention,
     y = jax.nn.relu(conv(xf, p["conv_in"]))
     y = y + conv(y, p["conv_res"])                        # [1, h, w, F]
 
-    upa = _packed_upsample_att(p, y)                      # [1,h,w,S,S,16]
-
-    off_feat = _packed_off_feat(p, s, convention)         # [S, S, 16]
-
-    m = jnp.concatenate(
-        [upa, jnp.broadcast_to(off_feat, upa.shape[:-1] + (16,))], axis=-1)
+    m = _packed_merged_map(p, y, s, convention)           # [1,h,w,S,S,2F]
 
     # tail: conv_out (3x3 over packed phases) + tanh + 16-tap apply +
     # round. On TPU the fused Pallas kernel (ops/pallas_packed_tail)
@@ -169,13 +164,71 @@ def _packed_off_feat(p, s, convention):
 
 def _packed_upsample_att(p, y):
     """Transposed-conv upsample + attention, packed layout:
-    [1, h, w, F] → [1, h, w, S, S, 16]."""
+    [1, h, w, F] → [1, h, w, S, S, 16].
+
+    Reference formulation (kept as the oracle for
+    :func:`_packed_merged_map`, which is what the forward actually runs)."""
     up = jnp.einsum("byxi,pqoi->byxpqo", y, p["upsample"]["kernel"]) \
         + p["upsample"]["bias"]
     att = jax.nn.sigmoid(
         jnp.einsum("byxpqo,oa->byxpqa", up, p["conv_att"]["kernel"][0, 0])
         + p["conv_att"]["bias"])
     return up * att
+
+
+def _packed_merged_map(p, y, s, convention):
+    """Upsample + attention + offset concat → the merged packed map
+    [1, h, w, S, S, 2F], built with FLAT lane-wide matmuls.
+
+    The einsum formulation (:func:`_packed_upsample_att` + concat) keeps a
+    16-wide minor dim through three SR-sized intermediates — 7/8-idle lanes
+    on every load/store — and measured ~6 ms of the 7.0 ms upstream at 0020
+    geometry (results/packed_tail_lab.json, upstream_to_* rows). Here the
+    minor dim is the packed channel axis (S*S*2F = 512):
+
+    * the upsample kernel is scattered into a [F_in, S*S*2F] matrix whose
+      offset lanes are zero columns, so ONE [M, F_in] @ [F_in, S*S*2F]
+      matmul emits the whole pre-gate map; the per-phase offset constant
+      (``conv_off`` collapsed — see `_packed_off_feat`) rides the bias;
+    * attention contracts the same flat map against a block-diagonal
+      [S*S*2F, S*S] matrix (zero rows on offset lanes);
+    * the gate multiplies up-lanes only, via one lane-mask select.
+
+    Numerics: the zero columns contribute exact zeros, but the wider
+    contractions chunk their partial sums differently, so the result matches
+    the einsum formulation only up to reduction-order rounding — ≤1e-3 in
+    tanh-weight space on the up lanes, offset lanes exact (asserted in
+    tests/test_models.py::test_packed_merged_map_matches_einsum); end-to-end
+    this stays inside the packed path's documented ≤2-LSB envelope
+    (test_packed_inference_matches_fused).
+    """
+    ku = p["upsample"]["kernel"]                      # [S, S, nw, F_in]
+    nw = ku.shape[2]
+    n_in = ku.shape[-1]
+    blocks = s * s
+    off_feat = _packed_off_feat(p, s, convention)     # [S, S, nw]
+
+    kflat = jnp.concatenate(
+        [jnp.transpose(ku, (3, 0, 1, 2)).reshape(n_in, blocks, nw),
+         jnp.zeros((n_in, blocks, nw), ku.dtype)],
+        axis=-1).reshape(n_in, blocks * 2 * nw)
+    bias = jnp.concatenate(
+        [jnp.broadcast_to(p["upsample"]["bias"], (blocks, nw)),
+         off_feat.reshape(blocks, nw)], axis=-1).reshape(-1)
+    m_pre = jnp.einsum("byxi,ij->byxj", y, kflat.astype(y.dtype)) \
+        + bias.astype(y.dtype)                        # [1, h, w, S*S*2F]
+
+    a = p["conv_att"]["kernel"][0, 0]                 # [nw, 1]
+    col = jnp.concatenate([a[:, 0], jnp.zeros((nw,), a.dtype)])
+    amat = jnp.kron(jnp.eye(blocks, dtype=a.dtype), col[:, None])
+    att = jax.nn.sigmoid(jnp.einsum("nyxj,jk->nyxk", m_pre, amat)
+                         + p["conv_att"]["bias"])     # [1, h, w, S*S]
+
+    lane_is_up = (jnp.arange(blocks * 2 * nw) % (2 * nw)) < nw
+    gate = jnp.where(lane_is_up, jnp.repeat(att, 2 * nw, axis=-1),
+                     jnp.ones((), att.dtype))
+    m = m_pre * gate
+    return m.reshape(y.shape[:3] + (s, s, 2 * nw))
 
 
 def _packed_phase_tail(mp, chw, kout, bout, s, c, h, w):

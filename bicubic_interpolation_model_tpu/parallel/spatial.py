@@ -337,8 +337,6 @@ def _learned_spatial(params, img_hwc, scale, convention, mesh, axis,
     hb = h // n
     hh = _LEARNED_HALO
     p = params["params"] if "params" in params else params
-    off_feat = inf._packed_off_feat(p, s, convention)
-
     def conv(x, kp):
         return jax.lax.conv_general_dilated(
             x, kp["kernel"], (1, 1), "SAME",
@@ -371,10 +369,7 @@ def _learned_spatial(params, img_hwc, scale, convention, mesh, axis,
         y = outside_zeroed(y)
         y = y + conv(y, p["conv_res"])                     # [1, hb+6, W, F]
 
-        upa = inf._packed_upsample_att(p, y)
-        m = jnp.concatenate(
-            [upa, jnp.broadcast_to(off_feat, upa.shape[:-1] + (16,))],
-            axis=-1)
+        m = inf._packed_merged_map(p, y, s, convention)
         m = outside_zeroed(m)
 
         # apply taps: LR rows [-1, hb+2) with REPLICATE values at the true

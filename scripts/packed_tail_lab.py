@@ -226,10 +226,7 @@ def main():
 
         y = jax.nn.relu(conv(xf, pc["conv_in"]))
         y = y + conv(y, pc["conv_res"])
-        upa = inf._packed_upsample_att(pc, y)
-        off = inf._packed_off_feat(pc, 4, "train")
-        return jnp.concatenate(
-            [upa, jnp.broadcast_to(off, upa.shape[:-1] + (16,))], axis=-1)
+        return inf._packed_merged_map(pc, y, 4, "train")
 
     # upstream ends in a POINTWISE einsum — a strided checksum would let
     # XLA elide all unsampled phase columns (PERF_NOTES "checksum
@@ -261,16 +258,34 @@ def main():
         y = y + conv(y, pc["conv_res"])
         if upto == "convs":
             return y
-        up = jnp.einsum("byxi,pqoi->byxpqo", y,
-                        pc["upsample"]["kernel"]) + pc["upsample"]["bias"]
+        # flat-matmul merged-map stages (_packed_merged_map, inlined so
+        # each prefix is a standalone program): "upsample" = the scattered
+        # [F_in, S*S*2F] matmul + bias (pre-gate map), "att" = the gated map
+        s = 4
+        ku = pc["upsample"]["kernel"]
+        nw, n_in = ku.shape[2], ku.shape[-1]
+        off = inf._packed_off_feat(pc, s, "train")
+        kflat = jnp.concatenate(
+            [jnp.transpose(ku, (3, 0, 1, 2)).reshape(n_in, s * s, nw),
+             jnp.zeros((n_in, s * s, nw), ku.dtype)],
+            axis=-1).reshape(n_in, s * s * 2 * nw)
+        bias = jnp.concatenate(
+            [jnp.broadcast_to(pc["upsample"]["bias"], (s * s, nw)),
+             off.reshape(s * s, nw)], axis=-1).reshape(-1)
+        m_pre = jnp.einsum("nyxi,ij->nyxj", y, kflat.astype(y.dtype)) \
+            + bias.astype(y.dtype)
         if upto == "upsample":
-            return up
-        att = jax.nn.sigmoid(
-            jnp.einsum("byxpqo,oa->byxpqa", up,
-                       pc["conv_att"]["kernel"][0, 0])
-            + pc["conv_att"]["bias"])
+            return m_pre
+        a = pc["conv_att"]["kernel"][0, 0]
+        col = jnp.concatenate([a[:, 0], jnp.zeros((nw,), a.dtype)])
+        amat = jnp.kron(jnp.eye(s * s, dtype=a.dtype), col[:, None])
+        att = jax.nn.sigmoid(jnp.einsum("nyxj,jk->nyxk", m_pre, amat)
+                             + pc["conv_att"]["bias"])
+        lane_is_up = (jnp.arange(s * s * 2 * nw) % (2 * nw)) < nw
+        gate = jnp.where(lane_is_up, jnp.repeat(att, 2 * nw, axis=-1),
+                         jnp.ones((), att.dtype))
         if upto == "att":
-            return up * att
+            return m_pre * gate
         raise ValueError(upto)
 
     for dname, dt in (("bf16", jnp.bfloat16),):

@@ -320,6 +320,32 @@ def test_packed_inference_matches_fused(rng):
         assert d.mean() < 0.2
 
 
+def test_packed_merged_map_matches_einsum(rng):
+    """_packed_merged_map (the flat lane-wide formulation the forward runs)
+    matches the einsum oracle (_packed_upsample_att + offset concat) to
+    reduction-order rounding on the up lanes (the wider contraction chunks
+    its partial sums differently); the offset lanes are exact (bias
+    passthrough, zero columns contribute exact zeros)."""
+    from bicubic_interpolation_model_tpu.models.inference import (
+        _packed_merged_map, _packed_off_feat, _packed_upsample_att)
+    from bicubic_interpolation_model_tpu.models.weight_predictor import (
+        init_params)
+
+    _, params = init_params(jax.random.key(7), scale=4)
+    p = params["params"]
+    y = jnp.asarray(rng.standard_normal((1, 9, 13, 32)), jnp.float32)
+    for conv in ("train", "inference"):
+        upa = _packed_upsample_att(p, y)
+        off = _packed_off_feat(p, 4, conv)
+        ref = np.asarray(jnp.concatenate(
+            [upa, jnp.broadcast_to(off, upa.shape[:-1] + (16,))], axis=-1))
+        got = np.asarray(_packed_merged_map(p, y, 4, conv))
+        assert got.shape == ref.shape == (1, 9, 13, 4, 4, 32)
+        np.testing.assert_array_equal(got[..., 16:], ref[..., 16:])
+        np.testing.assert_allclose(got[..., :16], ref[..., :16],
+                                   rtol=2e-3, atol=2e-3)
+
+
 def _load_wp_or_skip():
     import pathlib
 
