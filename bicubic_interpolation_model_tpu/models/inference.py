@@ -119,25 +119,27 @@ def _super_resolve_packed(params, lr_u8, scale, convention,
     y = jax.nn.relu(conv(xf, p["conv_in"]))
     y = y + conv(y, p["conv_res"])                        # [1, h, w, F]
 
-    m = _packed_merged_map(p, y, s, convention)           # [1,h,w,S,S,2F]
-
-    # tail: conv_out (3x3 over packed phases) + tanh + 16-tap apply +
-    # round. On TPU the fused Pallas kernel (ops/pallas_packed_tail)
-    # finishes it in ONE HBM pass of the merged map; the XLA graph
-    # re-reads the map per (phase, tap) — ~3.3 GB vs ~180 MB at 0020
-    # geometry. tail="xla" forces the graph path (also what the
-    # band-sharded path uses); "pallas" forces the kernel (interpreted
-    # off-TPU, for tests).
-    from ..ops.pallas_packed_tail import (packed_tail_pallas,
+    # tail: merged map (upsample+attention+offset) + conv_out (3x3 over
+    # packed phases) + tanh + 16-tap apply + round. On TPU the fused
+    # Pallas kernel (ops/pallas_packed_tail) computes ALL of it from the
+    # conv features in one pass — the S*S-phase merged map (182 MB at 0020
+    # geometry) never exists in HBM, and the XLA graph tail would re-read
+    # it per (phase, tap) — ~3.3 GB. tail="xla" forces the graph path
+    # (also what the band-sharded path uses); "pallas" forces the kernel
+    # (interpreted off-TPU, for tests).
+    from ..ops.pallas_packed_tail import (packed_tail_fused,
                                           packed_tail_supported)
     c = lr_u8.shape[-1]
+    nw = p["upsample"]["kernel"].shape[2]
     use_pallas = tail == "pallas" or (
         tail == "auto" and jax.default_backend() == "tpu")
-    if use_pallas and packed_tail_supported(s, m.shape[-1], c):
-        return packed_tail_pallas(
-            m[0], lr_f32, p["conv_out"]["kernel"], p["conv_out"]["bias"],
-            scale=s, opaque_alpha=opaque_alpha)
+    if use_pallas and packed_tail_supported(s, 2 * nw, c):
+        mats = _merged_map_mats(p, s, convention)
+        return packed_tail_fused(
+            y[0], lr_f32, p["conv_out"]["kernel"], p["conv_out"]["bias"],
+            *mats, scale=s, opaque_alpha=opaque_alpha)
 
+    m = _packed_merged_map(p, y, s, convention)           # [1,h,w,S,S,2F]
     mp = jnp.pad(m, ((0, 0), (1, 1), (1, 1), (0, 0), (0, 0), (0, 0)))
 
     # phase-decomposed 3x3 + the 16-tap apply, fused per phase plane
@@ -176,6 +178,30 @@ def _packed_upsample_att(p, y):
     return up * att
 
 
+def _merged_map_mats(p, s, convention):
+    """The flat merged-map matrices (see :func:`_packed_merged_map`):
+    kflat [F_in, S*S*2F] scattered upsample kernel (offset lanes zero),
+    bias [S*S*2F] upsample bias + per-phase offset constant,
+    amat [S*S*2F, S*S] block-diagonal attention contraction, abias [1].
+    Shared by the XLA formulation and the fused-upstream Pallas tail."""
+    ku = p["upsample"]["kernel"]                      # [S, S, nw, F_in]
+    nw = ku.shape[2]
+    n_in = ku.shape[-1]
+    blocks = s * s
+    off_feat = _packed_off_feat(p, s, convention)     # [S, S, nw]
+    kflat = jnp.concatenate(
+        [jnp.transpose(ku, (3, 0, 1, 2)).reshape(n_in, blocks, nw),
+         jnp.zeros((n_in, blocks, nw), ku.dtype)],
+        axis=-1).reshape(n_in, blocks * 2 * nw)
+    bias = jnp.concatenate(
+        [jnp.broadcast_to(p["upsample"]["bias"], (blocks, nw)),
+         off_feat.reshape(blocks, nw)], axis=-1).reshape(-1)
+    a = p["conv_att"]["kernel"][0, 0]                 # [nw, 1]
+    col = jnp.concatenate([a[:, 0], jnp.zeros((nw,), a.dtype)])
+    amat = jnp.kron(jnp.eye(blocks, dtype=a.dtype), col[:, None])
+    return kflat, bias, amat, p["conv_att"]["bias"]
+
+
 def _packed_merged_map(p, y, s, convention):
     """Upsample + attention + offset concat → the merged packed map
     [1, h, w, S, S, 2F], built with FLAT lane-wide matmuls.
@@ -202,27 +228,14 @@ def _packed_merged_map(p, y, s, convention):
     this stays inside the packed path's documented ≤2-LSB envelope
     (test_packed_inference_matches_fused).
     """
-    ku = p["upsample"]["kernel"]                      # [S, S, nw, F_in]
-    nw = ku.shape[2]
-    n_in = ku.shape[-1]
+    nw = p["upsample"]["kernel"].shape[2]
     blocks = s * s
-    off_feat = _packed_off_feat(p, s, convention)     # [S, S, nw]
-
-    kflat = jnp.concatenate(
-        [jnp.transpose(ku, (3, 0, 1, 2)).reshape(n_in, blocks, nw),
-         jnp.zeros((n_in, blocks, nw), ku.dtype)],
-        axis=-1).reshape(n_in, blocks * 2 * nw)
-    bias = jnp.concatenate(
-        [jnp.broadcast_to(p["upsample"]["bias"], (blocks, nw)),
-         off_feat.reshape(blocks, nw)], axis=-1).reshape(-1)
+    kflat, bias, amat, abias = _merged_map_mats(p, s, convention)
     m_pre = jnp.einsum("byxi,ij->byxj", y, kflat.astype(y.dtype)) \
         + bias.astype(y.dtype)                        # [1, h, w, S*S*2F]
 
-    a = p["conv_att"]["kernel"][0, 0]                 # [nw, 1]
-    col = jnp.concatenate([a[:, 0], jnp.zeros((nw,), a.dtype)])
-    amat = jnp.kron(jnp.eye(blocks, dtype=a.dtype), col[:, None])
     att = jax.nn.sigmoid(jnp.einsum("nyxj,jk->nyxk", m_pre, amat)
-                         + p["conv_att"]["bias"])     # [1, h, w, S*S]
+                         + abias)                     # [1, h, w, S*S]
 
     lane_is_up = (jnp.arange(blocks * 2 * nw) % (2 * nw)) < nw
     gate = jnp.where(lane_is_up, jnp.repeat(att, 2 * nw, axis=-1),

@@ -58,13 +58,22 @@ def _tail_kernel(kb_ref, bias_ref, ma, mb, mc, md, la, lb, lc, ld_,
     out_ref:  [S, step*S, wstep] u32 — column-phase planar, row phases
               interleaved on sublanes (adaptive kernel's output format)
     """
-    kdim = s * twof                     # 128: one row-phase block of lanes
-    ndim = s * 16                       # 64: column phases x 16 weights
-
     # merged-map window [step+2, wstep+2, S*S*2F] (halo 2 for the 3x3 conv)
     top = jnp.concatenate([ma[...], mb[..., :2, :]], axis=1)
     bot = jnp.concatenate([mc[:2], md[:2, :2, :]], axis=1)
     win = jnp.concatenate([top, bot], axis=0)
+    _tail_body(win, kb_ref, bias_ref, la, lb, lc, ld_, out_ref, s=s,
+               twof=twof, step=step, wstep=wstep, c=c,
+               opaque_alpha=opaque_alpha)
+
+
+def _tail_body(win, kb_ref, bias_ref, la, lb, lc, ld_, out_ref, *, s, twof,
+               step, wstep, c, opaque_alpha=False):
+    """conv_out + tanh + 16-tap apply + pack, on a ready merged-map window
+    ``win`` [step+2, wstep+2, S*S*2F] (shared by the m-fed kernel and the
+    fused-upstream kernel that computes ``win`` from conv features)."""
+    kdim = s * twof                     # 128: one row-phase block of lanes
+    ndim = s * 16                       # 64: column phases x 16 weights
 
     # dx column-shift variants: only one 32-lane q2 group moves
     # (dx=+1 -> q=S-1 reads q2=0 one column right; dx=-1 -> q=0 reads
@@ -131,6 +140,160 @@ def _tail_kernel(kb_ref, bias_ref, ma, mb, mc, md, la, lb, lc, ld_,
     for q in range(s):
         out_ref[q] = jnp.stack([planes[pp][q] for pp in range(s)],
                                axis=1).reshape(step * s, wstep)
+
+
+def _fused_kernel(kb_ref, bias_ref, kf_ref, mb_ref, am_ref, ab_ref, rm_ref,
+                  cm_ref, ya, yb, yc, yd, la, lb, lc, ld_, out_ref, *, s,
+                  twof, f_in, step, wstep, c, h, w, opaque_alpha=False):
+    """The packed tail with the merged-map UPSTREAM fused in: instead of a
+    precomputed [., S*S*2F] merged-map block, the kernel takes conv-feature
+    blocks ``ya..yd`` ([step, wstep, F_in], the conv_in/conv_res output)
+    and builds the window itself — upsample+offset matmul, attention,
+    gate — before running the shared tail body. The merged map never
+    exists in HBM: per frame the kernel reads F_in-wide features (23 MB
+    bf16 at 0020 geometry) where the m-fed kernel read 182 MB.
+
+    kf_ref: [F_in, S*S*2F] scattered upsample kernel (offset lanes zero)
+    mb_ref: [1, S*S*2F]    upsample bias + per-phase offset constant
+    am_ref: [S*S*2F, S*S]  block-diagonal attention contraction
+    ab_ref: [1, S*S]       attention bias
+    rm_ref: [S*S, S*S*2F]  0/1 gate scatter (att value -> its 16 up lanes)
+    cm_ref: [1, S*S*2F]    gate complement (1.0 on offset lanes)
+    """
+    feat = s * s * twof
+    rows, cols = step + 2, wstep + 2
+
+    ytop = jnp.concatenate([ya[...], yb[..., :2, :]], axis=1)
+    ybot = jnp.concatenate([yc[:2], yd[:2, :2, :]], axis=1)
+    ywin = jnp.concatenate([ytop, ybot], axis=0)      # [rows, cols, F_in]
+
+    y2 = ywin.reshape(rows * cols, f_in)
+    m_pre = jax.lax.dot(y2, kf_ref[...], precision=None,
+                        preferred_element_type=jnp.float32) + mb_ref[0]
+    att = jax.nn.sigmoid(
+        jax.lax.dot(m_pre.astype(y2.dtype), am_ref[...], precision=None,
+                    preferred_element_type=jnp.float32) + ab_ref[0])
+    # one-hot scatter: each output lane receives exactly one att value (up
+    # lanes) or the 1.0 complement (offset lanes) — exact, no lane repeat
+    gate = jax.lax.dot(att.astype(y2.dtype), rm_ref[...], precision=None,
+                       preferred_element_type=jnp.float32) + cm_ref[0]
+    m_win = (m_pre * gate).reshape(rows, cols, feat)
+
+    # zero out rows/cols outside the true image: the m-fed path zero-pads
+    # the merged map itself (conv SAME), but m(y=0) = gated bias != 0
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    gr = jax.lax.broadcasted_iota(jnp.int32, (rows, cols), 0) + i * step - 1
+    gc = jax.lax.broadcasted_iota(jnp.int32, (rows, cols), 1) + j * wstep - 1
+    valid = ((gr >= 0) & (gr < h) & (gc >= 0) & (gc < w))
+    m_win = m_win * valid.astype(m_win.dtype)[:, :, None]
+
+    _tail_body(m_win.astype(y2.dtype), kb_ref, bias_ref, la, lb, lc, ld_,
+               out_ref, s=s, twof=twof, step=step, wstep=wstep, c=c,
+               opaque_alpha=opaque_alpha)
+
+
+@functools.partial(jax.jit, static_argnames=("scale", "step", "wstep",
+                                             "interpret", "layout",
+                                             "opaque_alpha"))
+def _fused_tail_dispatch(y, lr_f32, kout, bout, kflat, mbias, amat, abias,
+                         scale, step, wstep, interpret, layout,
+                         opaque_alpha):
+    s = int(scale)
+    c = lr_f32.shape[-1]
+    h, w, f_in = y.shape
+    twof = kflat.shape[-1] // (s * s)
+    feat = s * s * twof
+    n_i = _round_up(h, step) // step
+    n_j = _round_up(w, wstep) // wstep
+
+    yp = jnp.pad(y, ((1, (n_i + 1) * step - h - 1),
+                     (1, (n_j + 1) * wstep - w - 1), (0, 0)))
+    lp = jnp.pad(jnp.transpose(lr_f32, (2, 0, 1)),
+                 ((0, 0), (1, (n_i + 1) * step - lr_f32.shape[0] - 1),
+                  (1, (n_j + 1) * wstep - w - 1)), mode="edge")
+
+    cdt = y.dtype
+    kb = _block_kernels(kout, s, twof).astype(cdt)
+    bias = jnp.tile(bout.astype(jnp.float32), (s,))[None]
+    nw = twof // 2
+    lane_is_up = (np.arange(feat) % twof) < nw
+    rmat = jnp.asarray(
+        np.equal.outer(np.arange(s * s), np.arange(feat) // twof)
+        & lane_is_up[None, :], cdt)
+    cmask = jnp.asarray(~lane_is_up, jnp.float32)[None]
+
+    y_spec = lambda di, dj: pl.BlockSpec(
+        (step, wstep, f_in), lambda i, j: (i + di, j + dj, 0),
+        memory_space=pltpu.VMEM)
+    l_spec = lambda di, dj: pl.BlockSpec(
+        (c, step, wstep), lambda i, j: (0, i + di, j + dj),
+        memory_space=pltpu.VMEM)
+    const = lambda r, cc: pl.BlockSpec(
+        (r, cc), lambda i, j: (0, 0), memory_space=pltpu.VMEM)
+    kernel = functools.partial(_fused_kernel, s=s, twof=twof, f_in=f_in,
+                               step=step, wstep=wstep, c=c, h=h, w=w,
+                               opaque_alpha=opaque_alpha and c == 4)
+    out = pl.pallas_call(
+        kernel,
+        grid=(n_i, n_j),
+        in_specs=[
+            const(9 * s * twof, s * 16), const(1, s * 16),
+            const(f_in, feat), const(1, feat), const(feat, s * s),
+            const(1, s * s), const(s * s, feat), const(1, feat),
+            y_spec(0, 0), y_spec(0, 1), y_spec(1, 0), y_spec(1, 1),
+            l_spec(0, 0), l_spec(0, 1), l_spec(1, 0), l_spec(1, 1),
+        ],
+        out_specs=pl.BlockSpec((s, step * s, wstep), lambda i, j: (0, i, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct(
+            (s, n_i * step * s, n_j * wstep), jnp.uint32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=96 * 1024 * 1024),
+        interpret=interpret,
+    )(kb, bias, kflat.astype(cdt), mbias.astype(jnp.float32)[None],
+      amat.astype(cdt), abias.astype(jnp.float32)[None], rmat, cmask,
+      yp, yp, yp, yp, lp, lp, lp, lp)
+
+    if layout == "planar":
+        return out
+    if layout == "hwc32":
+        from .pallas_interleave import interleave_planar_u32
+        return interleave_planar_u32(out, interpret=interpret)[:h * s,
+                                                               :w * s]
+    from .pallas_adaptive import unpack_planar
+    return unpack_planar(out, h, w, s, c)
+
+
+def packed_tail_fused(y, lr_f32, kout, bout, kflat, mbias, amat, abias, *,
+                      scale: int = 4, step: int = 16, wstep: int = 128,
+                      interpret: bool | None = None, layout: str = "hwc",
+                      opaque_alpha: bool = False):
+    """Fused-upstream packed tail: conv features in, u8 pixels out.
+
+    y:      [h, w, F_in] conv_in/conv_res output (any float dtype — the
+            matmuls run in y.dtype)
+    kflat, mbias, amat, abias: the flat merged-map matrices
+            (models/inference._merged_map_mats)
+    Everything else as :func:`packed_tail_pallas`. Single-chip zero-halo
+    semantics only (band-sharded callers build per-band merged maps and use
+    the m-fed kernel).
+    """
+    if y.ndim == 4:
+        y = y[0]
+    h, w, _ = y.shape
+    s = int(scale)
+    twof = kflat.shape[-1] // (s * s)
+    if not packed_tail_supported(s, twof, lr_f32.shape[-1]):
+        raise ValueError(f"packed tail needs S*2F==128, c<=4; got "
+                         f"S={s}, 2F={twof}, c={lr_f32.shape[-1]}")
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    step = min(step, _round_up(h, 8))
+    wstep = min(wstep, _round_up(w, 128))
+    return _fused_tail_dispatch(y, lr_f32, kout, bout, kflat, mbias, amat,
+                                abias, s, step, wstep, bool(interpret),
+                                layout, bool(opaque_alpha))
 
 
 def _block_kernels(kout, s, twof):
