@@ -30,10 +30,10 @@ the column pass also splits tmp (3 one-pass dots: hi·hi + hi·lo + lo·hi).
 Residual error ~2^-16·255 ≈ 0.004 — far inside the gate (measured ±1 LSB
 at full 1080p geometry on hardware, scripts/mxu_lab.py).
 
-Measured (v5e, 1080p, RGBA, program-output methodology): 4x 1.08 ms/frame
-= 30.6 GPix/s delivered-HWC (the planar headline's speed, interleaved);
-2x 13.2, 3x 15.7, 1.5x ~12, 2.5x 13.9 GPix/s — vs 2.3-2.6 for the XLA
-rational path this replaces.
+Measured numbers live in the stamped artifact, not here: see the
+bicubic_*_4x rows of results/method_throughput.json (round-4 stamp:
+27.4 GPix/s delivered-HWC at 1080p→4x, Δu8≤1; rational 1.5x/2.5x
+12.6/21.5 GPix/s — vs 2.3-2.6 for the XLA rational path this replaces).
 """
 
 from __future__ import annotations

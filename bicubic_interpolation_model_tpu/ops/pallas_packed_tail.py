@@ -252,8 +252,14 @@ def _fused_tail_dispatch(y, lr_f32, kout, bout, kflat, mbias, amat, abias,
             vmem_limit_bytes=96 * 1024 * 1024),
         interpret=interpret,
     )(kb, bias, kflat.astype(cdt), mbias.astype(jnp.float32)[None],
-      amat.astype(cdt), abias.astype(jnp.float32)[None], rmat, cmask,
-      yp, yp, yp, yp, lp, lp, lp, lp)
+      amat.astype(cdt),
+      # conv_att has ONE output channel, so abias is [1] — but ab_ref's
+      # block is (1, S*S): broadcast so every attention lane reads the
+      # real bias (a (1,1) operand here makes lanes 1..15 an OOB block
+      # read — NaN in interpret mode, a Mosaic lowering error on TPU)
+      jnp.broadcast_to(abias.astype(jnp.float32).reshape(-1)[:1],
+                       (1, s * s)),
+      rmat, cmask, yp, yp, yp, yp, lp, lp, lp, lp)
 
     if layout == "planar":
         return out

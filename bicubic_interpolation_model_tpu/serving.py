@@ -257,10 +257,18 @@ class Upscaler:
                                a=self.a)
         return np.asarray(out) if fetch else out
 
-    # Below ~0.26 MPix/frame (e.g. 512x512) per-launch overhead dominates
-    # single-frame throughput (results/latency_curve.json); batching
-    # restores it, so stream() auto-groups frames smaller than this.
-    MICROBATCH_THRESHOLD_PX = 512 * 512
+    # Auto-microbatch policy, derived from the committed on-chip curve
+    # (results/latency_curve.json, re-measured round 4): batching is a
+    # clear win ONLY at 128² (13.5 vs 4.4 GPix/s, 3.1x); at 256²/512² the
+    # batched/single delta is within noise (≤11%), at 384² batching LOSES
+    # 42% (11.2 vs 19.3), and the c1 256²-gray-2x config loses 2.8x
+    # (results/bench_configs.json, c1_256_gray_2x_microbatch8). So "auto"
+    # groups only frames at or below 128x128 LR pixels — every committed
+    # measurement at that size favors batching, and no committed
+    # measurement shows auto slower than per-frame dispatch
+    # (tests/test_serving_policy.py gates this constant against the
+    # artifacts). Explicit int microbatch still forces grouping anywhere.
+    MICROBATCH_THRESHOLD_PX = 128 * 128 + 1
 
     def stream(self, frames: Iterable[np.ndarray],
                microbatch: int | str | None = "auto"
@@ -269,13 +277,14 @@ class Upscaler:
         — keeps the device busy while results cross the host link. Honors
         ``bucket`` so variable-size streams reuse compiled programs.
 
-        ``microbatch``: small frames are launch-bound (a 256² frame runs
-        ~5x below the large-frame GPix/s; see PERF_NOTES round-3 latency
-        curve), so consecutive SAME-SHAPE frames under
-        ``MICROBATCH_THRESHOLD_PX`` are grouped into one kernel launch.
-        "auto" sizes groups to ~1 MPix; an int forces that group size;
-        None disables grouping. Output order is unchanged; on TPU values
-        are bit-identical to per-frame dispatch (batch is a Pallas grid
+        ``microbatch``: tiny frames are launch-bound (a 128² frame runs
+        ~3x below the large-frame GPix/s; results/latency_curve.json), so
+        consecutive SAME-SHAPE frames under ``MICROBATCH_THRESHOLD_PX``
+        (128² — the only size where the committed curve shows batching
+        winning decisively) are grouped into one kernel launch. "auto"
+        sizes groups to ~1 MPix; an int forces that group size; None
+        disables grouping. Output order is unchanged; on TPU values are
+        bit-identical to per-frame dispatch (batch is a Pallas grid
         dimension, not an approximation). On the CPU fallback the grouped
         path is a vmap whose summation order may differ, so values hold to
         the framework-wide ±1 u8 LSB contract rather than bit-exactness."""

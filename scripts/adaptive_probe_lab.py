@@ -181,25 +181,11 @@ def main():
         return probe_dispatch(xp, lp, wy, wye, wx, mode=mode,
                               n_i=n_i, n_j=n_j)
 
-    def chained(fn, img, k_lo=3, k_hi=15, reps=3):
-        @jax.jit
-        def ch(img, k):
-            def body(i, acc):
-                y = fn(img ^ i.astype(jnp.uint8))
-                return acc + jnp.sum(y[..., ::64, ::64].astype(jnp.float32))
-            return jax.lax.fori_loop(0, k, body, jnp.float32(0))
-
-        float(np.asarray(ch(img, 1)))
-
-        def timed(k):
-            best = np.inf
-            for _ in range(reps):
-                t0 = time.perf_counter()
-                float(np.asarray(ch(img, k)))
-                best = min(best, time.perf_counter() - t0)
-            return best
-        from bicubic_interpolation_model_tpu.bench.suite import chained_slope
-        return chained_slope(timed, k_lo, k_hi)
+    def chained(fn, img):
+        # the SAME shared chained-K implementation method_throughput.py
+        # uses — the two adaptive rows must be methodology-identical
+        from bicubic_interpolation_model_tpu.bench.suite import chained_bench
+        return chained_bench(fn, img)
 
     rng = np.random.default_rng(0)
     img = jax.device_put(rng.integers(0, 256, (H, W, C), np.uint8))

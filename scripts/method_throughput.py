@@ -31,35 +31,12 @@ REFERENCE_MS = {
 LR_H, LR_W, SCALE = 348, 510, 4   # image 0020 geometry
 
 
-def chained_bench(fn, img, k_lo=3, k_hi=15, reps=2):
-    import jax
-    import jax.numpy as jnp
-
-    from bicubic_interpolation_model_tpu.bench.suite import chained_slope
-
-    @jax.jit
-    def chained(img, k):
-        def body(i, acc):
-            x = img ^ i.astype(img.dtype) if img.dtype == jnp.uint8 \
-                else img + i.astype(img.dtype)
-            y = fn(x)
-            # strided 2-D sample, validated against program-output timing
-            # (bench.suite `chained` comment / PERF_NOTES round 2). NOT
-            # reshape(-1): linearizing a transposed result forces a
-            # pathological gather (~10x the true boundary cost).
-            return acc + jnp.sum(
-                y[..., ::64, ::64].astype(jnp.float32))
-        return jax.lax.fori_loop(0, k, body, jnp.float32(0))
-
-    float(np.asarray(chained(img, 1)))
-    def timed(k):
-        best = np.inf
-        for _ in range(reps):
-            t0 = time.perf_counter()
-            float(np.asarray(chained(img, k)))
-            best = min(best, time.perf_counter() - t0)
-        return best
-    return chained_slope(timed, k_lo, k_hi)
+def chained_bench(fn, img, k_lo=3, k_hi=15, reps=3):
+    # shared implementation — see bench/suite.py (one methodology for every
+    # chained-K row in the artifacts)
+    from bicubic_interpolation_model_tpu.bench.suite import (
+        chained_bench as _cb)
+    return _cb(fn, img, k_lo=k_lo, k_hi=k_hi, reps=reps)
 
 
 def main():

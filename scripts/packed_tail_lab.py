@@ -258,29 +258,19 @@ def main():
         y = y + conv(y, pc["conv_res"])
         if upto == "convs":
             return y
-        # flat-matmul merged-map stages (_packed_merged_map, inlined so
-        # each prefix is a standalone program): "upsample" = the scattered
-        # [F_in, S*S*2F] matmul + bias (pre-gate map), "att" = the gated map
+        # flat-matmul merged-map stages, built from the SAME matrices
+        # inference actually runs (inference._merged_map_mats — ADVICE r4:
+        # a re-inlined copy here can silently drift from the shipped
+        # formulation); only the stage-cut logic is local
         s = 4
-        ku = pc["upsample"]["kernel"]
-        nw, n_in = ku.shape[2], ku.shape[-1]
-        off = inf._packed_off_feat(pc, s, "train")
-        kflat = jnp.concatenate(
-            [jnp.transpose(ku, (3, 0, 1, 2)).reshape(n_in, s * s, nw),
-             jnp.zeros((n_in, s * s, nw), ku.dtype)],
-            axis=-1).reshape(n_in, s * s * 2 * nw)
-        bias = jnp.concatenate(
-            [jnp.broadcast_to(pc["upsample"]["bias"], (s * s, nw)),
-             off.reshape(s * s, nw)], axis=-1).reshape(-1)
+        kflat, bias, amat, abias = inf._merged_map_mats(pc, s, "train")
+        nw = pc["upsample"]["kernel"].shape[2]
         m_pre = jnp.einsum("nyxi,ij->nyxj", y, kflat.astype(y.dtype)) \
             + bias.astype(y.dtype)
         if upto == "upsample":
             return m_pre
-        a = pc["conv_att"]["kernel"][0, 0]
-        col = jnp.concatenate([a[:, 0], jnp.zeros((nw,), a.dtype)])
-        amat = jnp.kron(jnp.eye(s * s, dtype=a.dtype), col[:, None])
         att = jax.nn.sigmoid(jnp.einsum("nyxj,jk->nyxk", m_pre, amat)
-                             + pc["conv_att"]["bias"])
+                             + abias)
         lane_is_up = (jnp.arange(s * s * 2 * nw) % (2 * nw)) < nw
         gate = jnp.where(lane_is_up, jnp.repeat(att, 2 * nw, axis=-1),
                          jnp.ones((), att.dtype))

@@ -38,6 +38,8 @@ SECTIONS = {
                     "results/packed_tail_lab.json"),
     "train_modes": ("scripts/train_modes_lab.py",
                     "results/train_modes.json"),
+    "adaptive_probe": ("scripts/adaptive_probe_lab.py",
+                       "results/adaptive_probe.json"),
 }
 
 

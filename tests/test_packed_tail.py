@@ -89,6 +89,100 @@ def test_packed_tail_supported():
     assert not packed_tail_supported(4, 32, 5)
 
 
+def _wp_params(rng, f_in=32, nw=16):
+    """Random params with the WeightPredictor tail shapes (upsample /
+    conv_att / conv_off / conv_out), enough to drive _merged_map_mats and
+    _packed_merged_map without a checkpoint."""
+    n = lambda *s: rng.normal(0, 0.25, s).astype(np.float32)
+    return {
+        "upsample": {"kernel": n(4, 4, nw, f_in), "bias": n(nw)},
+        "conv_att": {"kernel": n(1, 1, nw, 1), "bias": n(1)},
+        "conv_off": {"kernel": n(1, 1, 2, nw), "bias": n(nw)},
+        "conv_out": {"kernel": n(3, 3, 2 * nw, 16) * 0.4, "bias": n(16)},
+    }
+
+
+@pytest.mark.parametrize("h,w,c", [(24, 40, 4), (19, 37, 4), (13, 9, 3),
+                                   (8, 128, 1), (40, 300, 4)])
+def test_packed_tail_fused_parity(h, w, c):
+    """The fused-upstream kernel (conv features in) vs the XLA chain
+    _packed_merged_map + _packed_phase_tail, geometry-swept like the m-fed
+    kernel's test above. Guards the abias/BlockSpec class of breakage
+    (round-4 all-zero regression)."""
+    from bicubic_interpolation_model_tpu.models.inference import (
+        _merged_map_mats, _packed_merged_map)
+    from bicubic_interpolation_model_tpu.ops.pallas_packed_tail import (
+        packed_tail_fused)
+
+    rng = np.random.default_rng(h * 7919 + w)
+    p = _wp_params(rng)
+    y = rng.normal(0, 0.5, (h, w, 32)).astype(np.float32)
+    lr = rng.integers(0, 256, (h, w, c)).astype(np.float32)
+
+    m = np.asarray(_packed_merged_map(p, jnp.asarray(y)[None], 4, "train"))[0]
+    ref = _xla_tail(m, lr, p["conv_out"]["kernel"], p["conv_out"]["bias"],
+                    4, c, h, w)
+    mats = _merged_map_mats(p, 4, "train")
+    got = np.asarray(packed_tail_fused(
+        jnp.asarray(y), jnp.asarray(lr), jnp.asarray(p["conv_out"]["kernel"]),
+        jnp.asarray(p["conv_out"]["bias"]), *mats, scale=4)).astype(np.int64)
+    assert got.shape == ref.shape
+    assert np.abs(got - ref).max() <= 1
+    assert (got != ref).mean() < 1e-3
+    assert got.std() > 0, "all-constant output — kernel is broken"
+
+
+def test_packed_tail_fused_opaque_alpha():
+    """The fused kernel's opaque-alpha skip stays inside the documented
+    envelope (alpha = round(255*sum(w)), ±1 LSB of f32 reassociation)."""
+    from bicubic_interpolation_model_tpu.models.inference import (
+        _merged_map_mats, _packed_merged_map)
+    from bicubic_interpolation_model_tpu.ops.pallas_packed_tail import (
+        packed_tail_fused)
+
+    rng = np.random.default_rng(11)
+    p = _wp_params(rng)
+    h, w = 21, 45
+    y = rng.normal(0, 0.5, (h, w, 32)).astype(np.float32)
+    lr = rng.integers(0, 256, (h, w, 4)).astype(np.float32)
+    lr[..., 3] = 255.0
+
+    m = np.asarray(_packed_merged_map(p, jnp.asarray(y)[None], 4, "train"))[0]
+    ref = _xla_tail(m, lr, p["conv_out"]["kernel"], p["conv_out"]["bias"],
+                    4, 4, h, w)
+    mats = _merged_map_mats(p, 4, "train")
+    kb = jnp.asarray(p["conv_out"]["kernel"])
+    bb = jnp.asarray(p["conv_out"]["bias"])
+    got = np.asarray(packed_tail_fused(
+        jnp.asarray(y), jnp.asarray(lr), kb, bb, *mats, scale=4,
+        opaque_alpha=True)).astype(np.int64)
+    assert np.abs(got - ref).max() <= 1
+
+
+def test_super_resolve_packed_fused_bf16_envelope(wp_checkpoint):
+    """The TPU-default serving configuration — bf16 model stages + the
+    fused-upstream Pallas tail — on a real checkpoint, vs the bf16 XLA
+    tail: association order is the only difference, so the fused route
+    must stay within the packed path's documented ≤2-LSB envelope. (Random
+    params overdrive tanh and inflate bf16 reassociation error, so the
+    bf16 gate runs on the trained checkpoint only.)"""
+    params = wp_checkpoint
+    rng = np.random.default_rng(13)
+    lr = rng.integers(0, 256, (33, 49, 4), np.uint8)
+    a = np.asarray(_super_resolve_packed(
+        params, jnp.asarray(lr), 4, "train", dtype=jnp.bfloat16,
+        tail="xla")).astype(np.int64)
+    b = np.asarray(_super_resolve_packed(
+        params, jnp.asarray(lr), 4, "train", dtype=jnp.bfloat16,
+        tail="pallas")).astype(np.int64)
+    d = np.abs(a - b)
+    assert d.max() <= 2
+    # 1-LSB flips are routine in bf16 (weights quantized to ~3 decimal
+    # digits); only >1-LSB deviations must be vanishing
+    assert (d > 1).mean() < 5e-3
+    assert b.std() > 0
+
+
 def test_super_resolve_packed_pallas_tail_matches_xla(wp_checkpoint):
     """E2E: the packed forward with tail='pallas' vs tail='xla' on a real
     checkpoint — ≤1 u8 LSB, vanishing fraction."""
