@@ -241,12 +241,16 @@ def bench_program_output(fn, img, ks=(2, 6), reps=3,
     budget_s = 120.0
     t_start = time.perf_counter()
     while True:
-        per, cleared = _bench_program_output_once(
+        per, cleared, frame_bytes = _bench_program_output_once(
             fn, img, (k0, k1), reps, min_delta)
-        if (cleared or k1 >= max_k
+        # byte-aware K ceiling: one K-program materializes K frames of
+        # output at once — never let that exceed ~1.2 GB (a 363 MB/frame
+        # stage prefix at K=64 would ask for 23 GB and OOM the chip)
+        k_byte_cap = max(k0 + 1, int(1.2e9 / max(frame_bytes, 1)))
+        if (cleared or k1 >= min(max_k, k_byte_cap)
                 or time.perf_counter() - t_start > budget_s):
             return per
-        k1 = min(max_k, k1 + 2 * (k1 - k0))
+        k1 = min(max_k, k_byte_cap, k1 + 2 * (k1 - k0))
 
 
 def _bench_program_output_once(fn, img, ks, reps, min_delta):
@@ -280,6 +284,11 @@ def _bench_program_output_once(fn, img, ks, reps, min_delta):
         int(np.asarray(ck))  # compile + settle
         progs[K] = prog
         out_bytes = sum(o.nbytes for o in jax.tree_util.tree_leaves(outs))
+        # release the settled outputs NOW: for large-output fns (e.g. a
+        # 363 MB merged-map stage prefix) holding K frames across the
+        # timed section OOMs the chip (observed: packed_tail_lab upstream
+        # stage, round 5)
+        del outs, ck
 
     # async dispatch keeps up to R rounds of outputs alive on device until
     # execution drains the queue — bound the worst case to ~2 GB
@@ -308,7 +317,7 @@ def _bench_program_output_once(fn, img, ks, reps, min_delta):
             8.0, max(2.0, min_delta / max(t1 - t0, 1e-9)))
         R = min(r_cap, int(R * grow) + 1)
     per = max((t1 - t0) / ((k1 - k0) * R), 1e-9)
-    return per, (t1 - t0) >= min_delta
+    return per, (t1 - t0) >= min_delta, out_bytes // max(k1, 1)
 
 
 def bench_resize(h, w, scale, method="bicubic", impl="auto", c=4,

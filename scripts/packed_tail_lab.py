@@ -135,9 +135,13 @@ def _probe_tail(pt, m, lr_f32, kout, bout, *, mode, interpret,
                                     0, 255).astype(jnp.float32))
             planes.append(row)
         for q in range(s):
+            # route the final cast through i32: Mosaic cannot lower a
+            # direct f32 -> u32 convert on TPU (the shipped kernel packs
+            # from i32 too, ops/pallas_packed_tail.py:130-134)
             out_ref[q] = jnp.stack(
                 [planes[pp][q] for pp in range(s)],
-                axis=1).reshape(step * s, wstep).astype(jnp.uint32)
+                axis=1).reshape(step * s, wstep).astype(
+                    jnp.int32).astype(jnp.uint32)
 
     mf = m.reshape(h, w, s * s * twof)
     n_i = pt._round_up(h, step) // step
@@ -199,6 +203,21 @@ def main():
         bench_program_output)
 
     rows = {}
+
+    import json
+    res = root / "results"
+    res.mkdir(exist_ok=True)
+
+    def flush():
+        # write after every section: a crash (VMEM OOM, a remote-compile
+        # 500 from the tunnel) in a late section must not discard
+        # completed measurements (lost the whole round-5 first run)
+        out = {"backend": jax.default_backend(),
+               "geometry": f"{LR_H}x{LR_W}->4x",
+               "checkpoint": "wp-1e-3-120",
+               "unit": "ms_per_frame",
+               "rows": rows}
+        (res / "packed_tail_lab.json").write_text(json.dumps(out, indent=2))
     for dname, dt in (("bf16", jnp.bfloat16), ("f32", jnp.float32)):
         for tail in ("xla", "pallas"):
             fn = lambda x, dt=dt, tail=tail: inf._super_resolve_packed(
@@ -212,7 +231,8 @@ def main():
             po = bench_program_output(fn, lr)
             rows[f"full_{tail}_{dname}_program_output"] = po * 1e3
             print(f"full_{tail}_{dname}: {per * 1e3:.2f} ms chained / "
-                  f"{po * 1e3:.2f} ms program-output")
+                  f"{po * 1e3:.2f} ms program-output", flush=True)
+            flush()
 
     # upstream only: everything that produces the merged map
     def upstream(lr_u8, dt):
@@ -236,7 +256,8 @@ def main():
         per = bench_program_output(
             lambda x, dt=dt: upstream(x, dt), lr)
         rows[f"upstream_{dname}"] = per * 1e3
-        print(f"upstream_{dname}: {per * 1e3:.2f} ms")
+        print(f"upstream_{dname}: {per * 1e3:.2f} ms", flush=True)
+        flush()
 
     # upstream stage attribution (round-4: with the fused tail landed the
     # upstream IS the floor — find out which stage): each prefix is
@@ -283,7 +304,9 @@ def main():
             per = bench_program_output(
                 lambda x, dt=dt, u=upto: prefix(x, dt, u), lr)
             rows[f"upstream_to_{upto}_{dname}"] = per * 1e3
-            print(f"upstream_to_{upto}_{dname}: {per * 1e3:.2f} ms")
+            print(f"upstream_to_{upto}_{dname}: {per * 1e3:.2f} ms",
+                  flush=True)
+            flush()
 
     # tail only, on a fixed merged map
     for dname, dt in (("bf16", jnp.bfloat16), ("f32", jnp.float32)):
@@ -298,7 +321,8 @@ def main():
             mm[0], lrf, kout, bout, scale=4,
             interpret=not on_tpu), m)
         rows[f"tail_pallas_{dname}"] = per * 1e3
-        print(f"tail_pallas_{dname}: {per * 1e3:.2f} ms")
+        print(f"tail_pallas_{dname}: {per * 1e3:.2f} ms", flush=True)
+        flush()
 
         def xla_tail(mm):
             mp = jnp.pad(mm, ((0, 0), (1, 1), (1, 1), (0, 0), (0, 0),
@@ -313,7 +337,8 @@ def main():
 
         per = chained(xla_tail, m)
         rows[f"tail_xla_{dname}"] = per * 1e3
-        print(f"tail_xla_{dname}: {per * 1e3:.2f} ms")
+        print(f"tail_xla_{dname}: {per * 1e3:.2f} ms", flush=True)
+        flush()
 
     # ---- kernel anatomy (round 4): tile-shape sweep + stripped probe ----
     # tail_pallas_bf16 ≈ tail_pallas_f32 already says the MXU dots are not
@@ -342,13 +367,21 @@ def main():
             print(f"tail step{tstep} wstep{twstep}: {type(e).__name__}: "
                   f"{e}", flush=True)
     rows["tail_tile_sweep"] = sweep
+    flush()
 
     from bicubic_interpolation_model_tpu.ops import pallas_packed_tail as pt
     for mode in ("matmul", "tanh", "relayout", "apply", "full"):
-        per = chained(lambda mm, md=mode: _probe_tail(
-            pt, mm[0], lrf, kout, bout, mode=md, interpret=not on_tpu), m)
+        try:
+            per = chained(lambda mm, md=mode: _probe_tail(
+                pt, mm[0], lrf, kout, bout, mode=md,
+                interpret=not on_tpu), m)
+        except Exception as e:
+            rows[f"tail_probe_{mode}"] = f"{type(e).__name__}"
+            print(f"tail_probe_{mode}: {type(e).__name__}: {e}", flush=True)
+            continue
         rows[f"tail_probe_{mode}"] = per * 1e3
         print(f"tail_probe_{mode}: {per * 1e3:.2f} ms", flush=True)
+    flush()
 
     print("\nsummary (ms):")
     for k, v in rows.items():
@@ -356,15 +389,7 @@ def main():
             continue
         print(f"  {k:>22}: {v:8.2f}")
 
-    import json
-    res = root / "results"
-    res.mkdir(exist_ok=True)
-    out = {"backend": jax.default_backend(),
-           "geometry": f"{LR_H}x{LR_W}->4x",
-           "checkpoint": "wp-1e-3-120",
-           "unit": "ms_per_frame",
-           "rows": rows}
-    (res / "packed_tail_lab.json").write_text(json.dumps(out, indent=2))
+    flush()
     print("wrote results/packed_tail_lab.json")
 
 

@@ -81,23 +81,40 @@ def main():
         # tunnel) in a later mode must not discard completed measurements
         artifact.write_text(json.dumps(out, indent=2))
 
+    # measured negative result (round 5, twice): batch=4 remat OOMs —
+    # published as a row so the artifact carries the finding, not a crash
+    out["image_batch4_remat"] = {
+        "oom": ("HBM OOM: 17.46G of 15.75G — XLA remat-compression "
+                "copies hold [B,1536,2048,16] f32 maps at 8x lane "
+                "padding; batch=2 is the largest grouped-image batch "
+                "that fits at DIV2K resolution")}
+
     failed = []
-    for label, cfg in (
+    # image modes run 2 epochs (first = compiles, second = steady): a third
+    # steady epoch adds ~7 min of chip time per mode for no new information
+    # and pushed the whole lab past refresh_results' per-section timeout
+    for label, cfg, epochs in (
         ("patch_16x48", TrainConfig(learning_rate=1e-3, mode="patch",
                                     patch_lr=48, batch_size=16,
-                                    log_every=10 ** 9)),
+                                    log_every=10 ** 9), 3),
         ("image_batch1", TrainConfig(learning_rate=1e-3, mode="image",
                                      bucket=64, image_batch=1,
-                                     log_every=10 ** 9)),
-        # remat: 4 DIV2K-size images keep ~1 GB of SR-resolution activations
-        # each alive for the backward — without rematerialization this batch
-        # needs 17.5 GB HBM on a 15.75 GB chip (measured OOM, round 4)
-        ("image_batch4_remat", TrainConfig(learning_rate=1e-3, mode="image",
-                                           bucket=64, image_batch=4,
-                                           remat=True, log_every=10 ** 9)),
+                                     log_every=10 ** 9), 2),
+        # remat: DIV2K-size images keep ~1 GB of SR-resolution activations
+        # each alive for the backward. batch=4 does NOT fit even WITH
+        # rematerialization: XLA's remat-compression copies store the
+        # [B,H_sr,W_sr,16] f32 weight-map tensors at 8x lane padding
+        # (16 lanes of a (4,128) tile), 17.46 GB of 15.75 GB HBM —
+        # measured OOM, round 5 (the same padding puts the no-remat
+        # batch-4 step at 17.5 GB, measured round 4). batch=2 halves the
+        # temps and fits; it is the largest grouped-image batch this chip
+        # trains at DIV2K resolution.
+        ("image_batch2_remat", TrainConfig(learning_rate=1e-3, mode="image",
+                                           bucket=64, image_batch=2,
+                                           remat=True, log_every=10 ** 9), 2),
     ):
         try:
-            run(label, cfg)
+            run(label, cfg, epochs=epochs)
         except Exception as exc:  # publish what DID run + the failure
             out[label] = {"error": f"{type(exc).__name__}: {exc}"[:500]}
             failed.append(label)
