@@ -70,12 +70,25 @@ _WP_LAYERS = ("conv_in", "conv_res", "upsample", "conv_att", "conv_off",
               "conv_out")
 
 
+def _pack_rgba32(u8_hwc):
+    """[H, W, 4] uint8 → [H, W] uint32, little-endian channel bytes — the
+    zero-cost serving delivery (identical bytes to the HWC frame; hosts
+    view with ops.pallas_interleave.rgba32_to_hwc_np). A [H, W, 4] u8
+    program output pays a ~2.4 ms default-layout relayout at 0020 SR
+    geometry (minor dim 4 → 32x lane padding); the packed word's minor
+    dim is W, so it escapes the tax (results/method_throughput.json,
+    adaptive hwc vs hwc32 program-output rows)."""
+    u = u8_hwc.astype(jnp.uint32)
+    return (u[..., 0] | (u[..., 1] << 8) | (u[..., 2] << 16)
+            | (u[..., 3] << 24))
+
+
 @functools.partial(jax.jit, static_argnames=("scale", "convention",
                                              "dtype", "tail",
-                                             "opaque_alpha"))
+                                             "opaque_alpha", "layout"))
 def _super_resolve_packed(params, lr_u8, scale, convention,
                           dtype=jnp.float32, tail="auto",
-                          opaque_alpha=False):
+                          opaque_alpha=False, layout="hwc"):
     """The WeightPredictor forward in PHASE-PACKED layout — every tensor
     stays at LR resolution with the S*S output phases packed into channels,
     so elementwise ops and matmuls always see wide minor dims.
@@ -137,7 +150,7 @@ def _super_resolve_packed(params, lr_u8, scale, convention,
         mats = _merged_map_mats(p, s, convention)
         return packed_tail_fused(
             y[0], lr_f32, p["conv_out"]["kernel"], p["conv_out"]["bias"],
-            *mats, scale=s, opaque_alpha=opaque_alpha)
+            *mats, scale=s, opaque_alpha=opaque_alpha, layout=layout)
 
     m = _packed_merged_map(p, y, s, convention)           # [1,h,w,S,S,2F]
     mp = jnp.pad(m, ((0, 0), (1, 1), (1, 1), (0, 0), (0, 0), (0, 0)))
@@ -148,7 +161,8 @@ def _super_resolve_packed(params, lr_u8, scale, convention,
     out = _packed_phase_tail(mp, chw, p["conv_out"]["kernel"],
                              p["conv_out"]["bias"], s, c,
                              h, w)
-    return _apply_round(out).astype(jnp.uint8)
+    res = _apply_round(out).astype(jnp.uint8)
+    return _pack_rgba32(res) if layout == "hwc32" else res
 
 
 def _packed_off_feat(p, s, convention):
@@ -282,7 +296,8 @@ def _packed_phase_tail(mp, chw, kout, bout, s, c, h, w):
 
 def super_resolve(model, params, lr_u8, scale: int = 4,
                   convention: str = "inference", *, exact: bool = False,
-                  compute_dtype=None, opaque_alpha: bool = False):
+                  compute_dtype=None, opaque_alpha: bool = False,
+                  layout: str = "hwc"):
     """Full learned SR: uint8 LR in, uint8 SR out, one compiled program.
 
     ``convention`` defaults to the reference's inference-time offsets
@@ -303,8 +318,19 @@ def super_resolve(model, params, lr_u8, scale: int = 4,
     f32). Measured on-chip: PSNR drift ≤0.003 dB on both WeightPredictor
     checkpoints (passes the <0.01 dB gate), max 2 u8 LSB vs f32
     (docs/PERF_NOTES.md, round-3 bf16 gate table).
+
+    ``layout="hwc32"`` (RGBA frames only) returns the SAME bytes as a
+    [H_sr, W_sr] uint32 word array — the serving delivery: a u8 HWC frame
+    as a default-layout program output pays a ~2.4 ms relayout at 0020 SR
+    geometry, the packed word escapes it. View on host with
+    ``ops.pallas_interleave.rgba32_to_hwc_np`` (free byte view).
     """
     lr = jnp.asarray(lr_u8)
+    if layout not in ("hwc", "hwc32"):
+        raise ValueError(f"layout must be 'hwc' or 'hwc32', got {layout!r}")
+    if layout == "hwc32" and lr.shape[-1] != 4:
+        raise ValueError("layout='hwc32' packs 4 channel bytes per word; "
+                         f"got C={lr.shape[-1]} (RGBA frames only)")
     p = params.get("params", params) if hasattr(params, "get") else params
     if (not exact and type(model).__name__ == "WeightPredictor"
             and all(k in p for k in _WP_LAYERS)):
@@ -314,8 +340,10 @@ def super_resolve(model, params, lr_u8, scale: int = 4,
         # rounding than per-frame calls — ±1 LSB entry-point skew
         return _super_resolve_packed(params, lr, int(scale), convention,
                                      dtype=_default_dtype(compute_dtype),
-                                     opaque_alpha=opaque_alpha)
-    return _super_resolve_fused(model, params, lr, int(scale), convention)
+                                     opaque_alpha=opaque_alpha,
+                                     layout=layout)
+    out = _super_resolve_fused(model, params, lr, int(scale), convention)
+    return _pack_rgba32(out) if layout == "hwc32" else out
 
 
 @functools.partial(jax.jit, static_argnames=("model", "dtype"))

@@ -343,12 +343,21 @@ class ModelUpscaler:
                                        lr_u8[..., :3])
         else:
             from .models.inference import super_resolve
+            # RGBA frames on TPU are delivered as the RGBA32 word array
+            # (layout='hwc32'): identical bytes, but a [H,W,4] u8 program
+            # output pays a ~2.4 ms default-layout relayout at 0020 SR
+            # geometry while the packed word is ~free. ``fetch`` views the
+            # bytes host-side (`_fetch`); fetch=False hands the device u32
+            # array to chaining callers, same contract as the adaptive path.
+            use32 = (jax.default_backend() == "tpu"
+                     and np.asarray(lr_u8).shape[-1] == 4)
             out = super_resolve(self.model, self.params, lr_u8,
                                 scale=self.scale,
                                 convention=self.convention,
                                 exact=self.exact,
-                                opaque_alpha=self.opaque_alpha)
-        return np.asarray(out) if fetch else out
+                                opaque_alpha=self.opaque_alpha,
+                                layout="hwc32" if use32 else "hwc")
+        return _fetch(out) if fetch else out
 
     def batch(self, lrs_u8, fetch: bool = True):
         """[B, H, W, C] same-size frames in one launch (the WP path's
@@ -388,4 +397,4 @@ class ModelUpscaler:
             frames,
             lambda img: self(jax.device_put(img), fetch=False),
             lambda g: self.batch(g, fetch=False),
-            group_size, np.asarray)
+            group_size, _fetch)
